@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Config-driven evaluation CLI (reference: eval.py).
+
+Usage:
+    python eval.py --config configs/identity_synthetic.yaml [--output DIR]
+                   [--max-clips N] [--no-resume]
+"""
+
+import argparse
+
+from unigeo_tpu.config import EvalConfig
+from unigeo_tpu.evaluator import run_evaluation
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True, help="experiment YAML path")
+    parser.add_argument("--output", default="./debug_output", help="results dir")
+    parser.add_argument("--max-clips", type=int, default=None)
+    parser.add_argument("--no-resume", action="store_true")
+    args = parser.parse_args()
+
+    cfg = EvalConfig.from_yaml(args.config)
+    manager = run_evaluation(
+        cfg,
+        save_dir=args.output,
+        resume=not args.no_resume,
+        max_clips=args.max_clips,
+    )
+    print("Averages:")
+    for name, value in manager.calculate_averages().items():
+        print(f"  {name}: {value:.5f}")
+
+
+if __name__ == "__main__":
+    main()

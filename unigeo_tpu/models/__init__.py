@@ -1,0 +1,7 @@
+"""Model stacks (reference: model/__init__.py:1-5).
+
+Importing this package registers every model class in the registry.
+"""
+
+from unigeo_tpu.models.base import GeometryModel, PREDICTION_KEYS  # noqa: F401
+from unigeo_tpu.models import identity  # noqa: F401
