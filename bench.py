@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark: DepthCrafter 25-frame 384×512 clip, frames/sec/chip.
+
+Runs the full flagship inference program (VAE encode → CLIP embed → 5-step
+spatio-temporal UNet denoise → temporal VAE decode) on the default JAX
+backend (the real TPU chip under the driver) with bf16 parameters and
+activations, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured fps divided by the A100 reference throughput for the
+same workload.  The reference repo publishes no numbers (BASELINE.md), so we
+use a documented estimate: DepthCrafter on A100 (fp16, xformers, 5 denoise
+steps, 25×384×512) runs ≈ 12 s per clip ≈ 2.0 frames/s.  The driver-set
+north star is 3× that (BASELINE.json).
+
+Env knobs: BENCH_SMALL=1 (tiny config smoke), BENCH_FRAMES/H/W, BENCH_REPS.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+A100_REF_FPS = 2.0  # estimated reference throughput (see module docstring)
+
+
+def _random_params_like(shapes, seed=0, scale=0.02):
+    """One jitted program generating the whole random param tree."""
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def gen(key):
+        keys = jax.random.split(key, len(leaves))
+        return [
+            jax.random.normal(k, s.shape, jnp.float32) * scale for k, s in zip(keys, leaves)
+        ]
+
+    vals = gen(jax.random.PRNGKey(seed))
+    return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    t = int(os.environ.get("BENCH_FRAMES", "4" if small else "25"))
+    h = int(os.environ.get("BENCH_H", "64" if small else "384"))
+    w = int(os.environ.get("BENCH_W", "64" if small else "512"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    steps = 5
+
+    if small:
+        from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
+
+        pipe = tiny_pipeline(height=h, width=w, num_frames=t)
+        params = pipe.params
+    else:
+        from unigeo_tpu.models.depthcrafter.pipeline import DepthCrafterPipeline
+
+        pipe = DepthCrafterPipeline()
+        ctx_dim = pipe.unet.cross_attention_dim
+        rng = jax.random.PRNGKey(0)
+        shapes = {
+            "vae": jax.eval_shape(
+                lambda r: pipe.vae.init(r, jnp.zeros((1, h, w, 3)), 1), rng
+            )["params"],
+            "clip": jax.eval_shape(
+                lambda r: pipe.clip.init(r, jnp.zeros((1, h, w, 3))), rng
+            )["params"],
+            "unet": jax.eval_shape(
+                lambda r: pipe.unet.init(
+                    r,
+                    jnp.zeros((t, h // 8, w // 8, 8)),
+                    jnp.zeros((1,)),
+                    jnp.zeros((t, 1, ctx_dim)),
+                    jnp.zeros((1, 3)),
+                    t,
+                ),
+                rng,
+            )["params"],
+        }
+        params = _random_params_like(shapes)
+        # bf16 weights: halves HBM traffic, feeds the MXU natively
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        pipe.params = params
+
+    frames = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(t, h, w, 3)).astype(np.float32)
+    )
+    noise = jax.random.normal(jax.random.PRNGKey(1), (t, h // 8, w // 8, 4))
+
+    # On tunneled backends block_until_ready returns at enqueue time, so
+    # sync on a SCALAR host fetch and subtract the measured round trip.
+    run = jax.jit(
+        lambda p, f, n: pipe._run_window.__wrapped__(pipe, p, f, n, steps).sum()
+    )
+    trivial = jax.jit(lambda x: x + 1.0)
+
+    float(run(pipe.params, frames, noise))  # compile (excluded)
+    float(trivial(jnp.float32(0.0)))
+
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(jnp.float32(0.0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(pipe.params, frames, noise))
+        times.append(time.perf_counter() - t0)
+
+    best = max(min(times) - rtt, 1e-9)
+    fps = t / best
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec/chip, DepthCrafter "
+                f"{t}-frame {h}x{w} clip, 5 denoise steps",
+                "value": round(fps, 4),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / A100_REF_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

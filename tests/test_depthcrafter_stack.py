@@ -1,0 +1,151 @@
+"""Tests for the native SVD/DepthCrafter stack (tiny configs on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unigeo_tpu.models.depthcrafter.scheduler import (
+    EulerDiscreteConfig,
+    EulerDiscreteScheduler,
+)
+from unigeo_tpu.models.depthcrafter.unet import UNetSpatioTemporal, tiny_unet_config
+from unigeo_tpu.models.depthcrafter.vae import AutoencoderKLTemporal, tiny_vae_config
+
+
+def test_scheduler_sigmas_descending():
+    sch = EulerDiscreteScheduler()
+    sigmas = sch.inference_sigmas(5)
+    assert sigmas.shape == (6,)
+    assert (np.diff(sigmas) < 0).all()
+    assert sigmas[-1] == 0.0
+    # "leading" spacing tops out at timestep 801 → sigma ≈ 5.1; the full
+    # trained range reaches sigma_max ≈ 14.6 at t=999 ("linspace")
+    assert 1.0 < sigmas[0] < 20
+    sch_ls = EulerDiscreteScheduler(EulerDiscreteConfig(timestep_spacing="linspace"))
+    assert 10 < sch_ls.inference_sigmas(5)[0] < 20
+
+
+def test_scheduler_v_prediction_roundtrip():
+    """denoised_from_v(add_noise(x0), v_target) == x0 exactly."""
+    sch = EulerDiscreteScheduler()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(4, 8, 8, 4)), jnp.float32)
+    noise = jnp.asarray(rng.normal(size=x0.shape), jnp.float32)
+    sigma = jnp.float32(2.5)
+    x = sch.add_noise(x0, noise, sigma)
+    v = sch.v_target(x0, noise, sigma)
+    rec = sch.denoised_from_v(x, v, sigma)
+    assert np.allclose(np.asarray(rec), np.asarray(x0), atol=1e-4)
+
+
+def test_scheduler_euler_step_converges_one_step():
+    """With a perfect denoiser, stepping to sigma=0 returns the clean data."""
+    sch = EulerDiscreteScheduler()
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(2, 4, 4, 4)), jnp.float32)
+    noise = jnp.asarray(rng.normal(size=x0.shape), jnp.float32)
+    sigma = jnp.float32(10.0)
+    x = sch.add_noise(x0, noise, sigma)
+    stepped = sch.euler_step(x, x0, sigma, jnp.float32(0.0))
+    assert np.allclose(np.asarray(stepped), np.asarray(x0), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def unet_and_params():
+    unet = UNetSpatioTemporal(**tiny_unet_config())
+    t, h, w = 4, 32, 32
+    sample = jnp.zeros((t, h, w, 8))
+    ctx = jnp.zeros((t, 1, 32))
+    params = unet.init(
+        jax.random.PRNGKey(0), sample, jnp.zeros((1,)), ctx, jnp.zeros((1, 3)), t
+    )
+    return unet, params
+
+
+def test_unet_shapes_and_determinism(unet_and_params):
+    unet, params = unet_and_params
+    rng = np.random.default_rng(0)
+    t, h, w = 4, 32, 32
+    x = jnp.asarray(rng.normal(size=(t, h, w, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(t, 1, 32)), jnp.float32)
+    out1 = unet.apply(params, x, jnp.ones((1,)) * 500, ctx, jnp.ones((1, 3)), t)
+    out2 = unet.apply(params, x, jnp.ones((1,)) * 500, ctx, jnp.ones((1, 3)), t)
+    assert out1.shape == (t, h, w, 4)
+    assert np.array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_unet_timestep_changes_output(unet_and_params):
+    unet, params = unet_and_params
+    t, h, w = 4, 32, 32
+    x = jnp.ones((t, h, w, 8))
+    ctx = jnp.ones((t, 1, 32))
+    o1 = unet.apply(params, x, jnp.zeros((1,)), ctx, jnp.ones((1, 3)), t)
+    o2 = unet.apply(params, x, jnp.full((1,), 999.0), ctx, jnp.ones((1, 3)), t)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_vae_roundtrip_shapes():
+    vae = AutoencoderKLTemporal(**tiny_vae_config())
+    t, h, w = 3, 32, 32
+    frames = jnp.zeros((t, h, w, 3))
+    params = vae.init(jax.random.PRNGKey(0), frames, method=vae.encode)
+    lat = vae.apply(params, frames, method=vae.encode)
+    assert lat.shape == (t, h // 8, w // 8, 4)
+    dec_params = vae.init(jax.random.PRNGKey(1), lat, t, method=vae.decode)
+    out = vae.apply(dec_params, lat, t, method=vae.decode)
+    assert out.shape == (t, h, w, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_full_pipeline_tiny():
+    from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
+
+    pipe = tiny_pipeline(height=64, width=64, num_frames=3)
+    frames = np.random.default_rng(0).uniform(size=(3, 64, 64, 3)).astype(np.float32)
+    out = pipe(frames, num_inference_steps=2)
+    assert out.shape == (3, 64, 64, 3)
+    assert np.isfinite(out).all()
+    # deterministic given the same seed
+    out2 = pipe(frames, num_inference_steps=2)
+    assert np.allclose(out, out2)
+
+
+def test_pipeline_windowed_stitching():
+    from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
+
+    pipe = tiny_pipeline(height=64, width=64, num_frames=4)
+    frames = np.random.default_rng(1).uniform(size=(7, 64, 64, 3)).astype(np.float32)
+    out = pipe(frames, num_inference_steps=2, window_size=4, overlap=2)
+    assert out.shape == (7, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_depthcrafter_adapter_contract():
+    """Full adapter on a synthetic clip: output keys, shapes, normal units."""
+    from unigeo_tpu.data.synthetic import SyntheticBoxDataset
+    from unigeo_tpu.models.depthcrafter.model import DepthCrafter
+    from unigeo_tpu.models.depthcrafter.unet import tiny_unet_config
+    from unigeo_tpu.models.depthcrafter.vae import tiny_vae_config
+    from unigeo_tpu.models.vit import tiny_clip_config
+
+    ds = SyntheticBoxDataset(
+        clip_length=3, clip_overlap=0, num_scenes=1, frames_per_scene=3,
+        render_size=(64, 64),
+    )
+    data = ds[0]
+    unet_cfg = tiny_unet_config()
+    model = DepthCrafter(
+        unet_config=unet_cfg,
+        vae_config=tiny_vae_config(),
+        clip_config=dict(tiny_clip_config(), projection_dim=unet_cfg["cross_attention_dim"]),
+        num_inference_steps=2,
+        init_height=64, init_width=64, init_frames=3,
+    )
+    out = model.forward(data)
+    assert out["pred_depths"].shape == (3, 64, 64)
+    assert out["pred_normals"].shape == (3, 64, 64, 3)
+    assert (out["pred_depths"] > 0).all()
+    norms = np.linalg.norm(out["pred_normals"], axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-3)

@@ -1,0 +1,100 @@
+"""Tests for the pointmap model family + StableNormal through the full
+eval pipeline (tiny configs)."""
+
+import numpy as np
+import pytest
+
+from unigeo_tpu.data.synthetic import SyntheticBoxDataset
+from unigeo_tpu.models.pointmap.spann3r import Spann3R, tiny_spann3r_config
+from unigeo_tpu.models.pointmap.cut3r import Cut3R, tiny_cut3r_config
+
+
+@pytest.fixture(scope="module")
+def clip():
+    ds = SyntheticBoxDataset(
+        clip_length=2, clip_overlap=0, num_scenes=1, frames_per_scene=2,
+        render_size=(64, 64),
+    )
+    return ds[0]
+
+
+def test_spann3r_contract(clip):
+    model = Spann3R(
+        network_config=tiny_spann3r_config(),
+        init_height=64, init_width=64, init_frames=2,
+    )
+    out = model.forward(clip)
+    assert out["pred_world_pts"].shape == (2, 64, 64, 3)
+    assert out["pred_depths"].shape == (2, 64, 64)
+    assert out["pred_normals"].shape == (2, 64, 64, 3)
+    assert out["pred_poses"].shape == (2, 4, 4)
+    for key in out:
+        assert np.isfinite(out[key]).all(), key
+    # poses are rigid transforms
+    R = out["pred_poses"][:, :3, :3]
+    assert np.allclose(R @ np.swapaxes(R, 1, 2), np.eye(3)[None], atol=1e-3)
+
+
+def test_cut3r_contract(clip):
+    model = Cut3R(
+        network_config=tiny_cut3r_config(),
+        init_height=64, init_width=64, init_frames=2,
+    )
+    out = model.forward(clip)
+    assert out["pred_world_pts"].shape == (2, 64, 64, 3)
+    assert out["pred_depths"].shape == (2, 64, 64)
+    assert (out["pred_depths"] > 0).all()  # positive-z parameterization
+    assert out["pred_poses"].shape == (2, 4, 4)
+    assert out["pred_focal"] > 0
+    for key in ("pred_world_pts", "pred_depths", "pred_normals", "pred_poses"):
+        assert np.isfinite(out[key]).all(), key
+
+
+def test_cut3r_through_eval_pipeline(tmp_path, clip):
+    """Pointmap model through the full metrics pipeline (depth+pcd+camera)."""
+    from unigeo_tpu.config import EvalConfig
+    from unigeo_tpu.evaluator import evaluate_clip
+    from unigeo_tpu.data.sample import prepare_gt_label
+
+    cfg = EvalConfig.from_dict(
+        {
+            "dataset": "SyntheticBoxDataset",
+            "model_name": "Cut3R",
+            "h": 64, "w": 64,
+            "eval_depth": {"metric_names": ["Abs Rel"], "depth_alignment": "lstsq"},
+            "eval_pcd": {"metric_names": ["acc", "comp"], "pcd_downsample_num": 500},
+            "eval_camera": {"metric_names": ["ATE", "RPE trans", "RPE rot"]},
+        }
+    )
+    model = Cut3R(
+        network_config=tiny_cut3r_config(),
+        init_height=64, init_width=64, init_frames=2,
+    )
+    out = model.forward(clip)
+    gt = prepare_gt_label(clip)
+    metric = evaluate_clip(cfg, out, gt)
+    for name in ("Abs Rel", "acc", "comp", "ATE"):
+        assert name in metric
+        assert np.isfinite(metric[name])
+
+
+def test_stablenormal_contract(clip):
+    from unigeo_tpu.models.stablenormal import StableNormal
+    from unigeo_tpu.models.depthcrafter.unet import tiny_unet_config
+    from unigeo_tpu.models.depthcrafter.vae import tiny_vae_config
+    from unigeo_tpu.models.vit import tiny_clip_config
+
+    unet_cfg = tiny_unet_config()
+    model = StableNormal(
+        unet_config=unet_cfg,
+        vae_config=tiny_vae_config(),
+        clip_config=dict(
+            tiny_clip_config(), projection_dim=unet_cfg["cross_attention_dim"]
+        ),
+        num_inference_steps=2,
+        init_height=64, init_width=64,
+    )
+    out = model.forward(clip)
+    assert out["pred_normals"].shape == (2, 64, 64, 3)
+    assert np.allclose(np.linalg.norm(out["pred_normals"], axis=-1), 1.0, atol=1e-3)
+    assert (out["pred_depths"] == 0).all()

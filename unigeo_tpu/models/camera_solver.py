@@ -1,0 +1,153 @@
+"""Camera recovery from pointmaps — the reference's cv2/PnP path, in JAX.
+
+Replaces (reference: metrics/utils.py:64-160):
+  * estimate_focal_knowing_depth (Weiszfeld mode): robust focal from a
+    pointmap assuming central principal point — already vectorized math,
+    ported to a fixed-iteration IRLS (:93-117).
+  * solve_depth_and_camera_from_3d_points: per-frame cv2.solvePnPRansac +
+    Rodrigues (:120-160) — a CPU hotspot in the reference — becomes a
+    batched DLT least-squares solve with one IRLS reweighting pass for
+    robustness, all frames at once on the MXU.
+
+Convention: world frame = frame-0 camera (OpenCV), pixels (u, v) index the
+[H, W] grid; extrinsics are world-to-camera.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def estimate_focal_weiszfeld(pts3d, pp=None, iters: int = 10):
+    """Robust focal from a frame-0 pointmap [H, W, 3] (OpenCV coords).
+
+    Minimizes sum_i || pixel_i - f * (x,y)_i / z_i || by IRLS
+    (reference: metrics/utils.py:93-110).
+    """
+    h, w, _ = pts3d.shape
+    if pp is None:
+        pp = jnp.asarray([w / 2.0, h / 2.0])
+    u = jnp.arange(w, dtype=jnp.float32)[None, :] - pp[0]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None] - pp[1]
+    pixels = jnp.stack(
+        [jnp.broadcast_to(u, (h, w)), jnp.broadcast_to(v, (h, w))], axis=-1
+    ).reshape(-1, 2)
+
+    xy = pts3d[..., :2].reshape(-1, 2)
+    z = pts3d[..., 2].reshape(-1, 1)
+    xy_over_z = jnp.where(jnp.abs(z) > 1e-8, xy / z, 0.0)
+    xy_over_z = jnp.nan_to_num(xy_over_z, posinf=0.0, neginf=0.0)
+
+    dot_xy_px = jnp.sum(xy_over_z * pixels, axis=-1)
+    dot_xy_xy = jnp.sum(xy_over_z * xy_over_z, axis=-1)
+    focal = jnp.mean(dot_xy_px) / jnp.maximum(jnp.mean(dot_xy_xy), 1e-12)
+
+    def body(_, f):
+        dis = jnp.linalg.norm(pixels - f * xy_over_z, axis=-1)
+        wgt = 1.0 / jnp.maximum(dis, 1e-8)
+        return jnp.mean(wgt * dot_xy_px) / jnp.maximum(
+            jnp.mean(wgt * dot_xy_xy), 1e-12
+        )
+
+    return jax.lax.fori_loop(0, iters, body, focal)
+
+
+def _dlt_pose(pts3d, pts2d_norm, weights):
+    """Weighted DLT for the projection P = [R|t] given normalized pixels.
+
+    pts3d [N,3]; pts2d_norm [N,2] = K^{-1}-normalized pixel coords;
+    weights [N].  Solves for the 12 entries of P (up to scale) from the
+    2N×12 homogeneous system, then projects onto SE(3) by SVD
+    orthogonalization.
+    """
+    n = pts3d.shape[0]
+    X = jnp.concatenate([pts3d, jnp.ones((n, 1))], axis=-1)  # [N,4]
+    zeros = jnp.zeros((n, 4))
+    u = pts2d_norm[:, :1]
+    v = pts2d_norm[:, 1:2]
+    rows_u = jnp.concatenate([X, zeros, -u * X], axis=-1)  # [N,12]
+    rows_v = jnp.concatenate([zeros, X, -v * X], axis=-1)
+    A = jnp.concatenate([rows_u * weights[:, None], rows_v * weights[:, None]], axis=0)
+
+    # smallest right-singular vector of A
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    p = Vt[-1].reshape(3, 4)
+
+    # fix sign: depths should be mostly positive
+    depths = (X @ p[2])[: n]
+    p = jnp.where(jnp.sum(jnp.sign(depths)) < 0, -p, p)
+
+    R_raw = p[:, :3]
+    # project to a rotation: R = U V^T, scale from singular values
+    U, S, Vt2 = jnp.linalg.svd(R_raw)
+    d = jnp.sign(jnp.linalg.det(U @ Vt2))
+    D = jnp.diag(jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d]))
+    R = U @ D @ Vt2
+    scale = jnp.mean(S[:2])  # robust to the reflected last value
+    t = p[:, 3] / jnp.maximum(scale, 1e-12)
+    return R, t
+
+
+@functools.partial(jax.jit, static_argnames=("irls_iters",))
+def solve_pnp_batch(pts3d, intrinsics, irls_iters: int = 2):
+    """Batched PnP: world pointmaps [Nf, H, W, 3] + K [3,3] → extrinsics
+    [Nf, 4, 4] (world-to-camera), via weighted DLT with IRLS reprojection
+    reweighting (the JAX replacement for per-frame cv2.solvePnPRansac)."""
+    nf, h, w, _ = pts3d.shape
+    uu, vv = jnp.meshgrid(
+        jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32),
+        indexing="xy",
+    )
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    pix_norm = jnp.stack([(uu - cx) / fx, (vv - cy) / fy], axis=-1).reshape(-1, 2)
+
+    def solve_frame(pts):
+        pts_flat = pts.reshape(-1, 3)
+        wgt = jnp.ones(pts_flat.shape[0])
+
+        def body(_, carry):
+            wgt, R, t = carry
+            R, t = _dlt_pose(pts_flat, pix_norm, wgt)
+            cam = pts_flat @ R.T + t
+            proj = cam[:, :2] / jnp.maximum(cam[:, 2:3], 1e-6)
+            err = jnp.linalg.norm(proj - pix_norm, axis=-1)
+            wgt = 1.0 / (err + 1e-4)
+            wgt = wgt / jnp.mean(wgt)
+            return (wgt, R, t)
+
+        wgt, R, t = jax.lax.fori_loop(
+            0, irls_iters, body, (wgt, jnp.eye(3), jnp.zeros(3))
+        )
+        T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+        return T
+
+    return jax.vmap(solve_frame)(pts3d)
+
+
+def solve_depth_and_camera_from_pointmaps(pts3d):
+    """World pointmaps [Nf, H, W, 3] → (cam_pts [Nf,H,W,3], extrinsics
+    [Nf,4,4] w2c, intrinsics [Nf,3,3]).
+
+    Focal from frame 0 (Weiszfeld), shared across frames; batched DLT-PnP
+    for the poses (reference: metrics/utils.py:120-160).
+    """
+    pts3d = jnp.asarray(pts3d)
+    nf, h, w, _ = pts3d.shape
+    focal = estimate_focal_weiszfeld(pts3d[0])
+    K = (
+        jnp.eye(3)
+        .at[0, 0].set(focal)
+        .at[1, 1].set(focal)
+        .at[0, 2].set(w / 2.0)
+        .at[1, 2].set(h / 2.0)
+    )
+    extrinsics = solve_pnp_batch(pts3d, K)
+    R = extrinsics[:, :3, :3]
+    t = extrinsics[:, :3, 3]
+    cam_pts = jnp.einsum("nij,nhwj->nhwi", R, pts3d) + t[:, None, None, :]
+    intrinsics = jnp.broadcast_to(K, (nf, 3, 3))
+    return cam_pts, extrinsics, intrinsics

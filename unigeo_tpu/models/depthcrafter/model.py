@@ -1,0 +1,105 @@
+"""DepthCrafter model adapter: clip sample → depth + normals.
+
+Mirrors the reference adapter's behavior end to end
+(model/depthcrafter.py:39-99) with the compute running natively on TPU:
+
+  input    images [Nf,3,H,W] 0..255 → [Nf,H,W,3] float 0..1  (:39-45)
+  infer    pipeline(guidance 1.0, 5 steps, window=Nf, overlap 25)  (:79-90)
+  postproc mean over the 3 decoded channels → min-max normalize over the
+           whole clip → depth = 1/(x + 0.1)  (:92-97)
+  output   backproject with the GT intrinsics → surface normals by the
+           5×5 plane fit → flip y,z to OpenGL  (:48-68); depth + normals
+           only (the reference adapter predicts no poses/world points).
+
+The post-processing + normal estimation is one jitted program
+(ops/normals.py plane fit — conv + batched 3×3 solves, no host round trip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigeo_tpu.models.depthcrafter.pipeline import DepthCrafterPipeline
+from unigeo_tpu.ops.backproject import backproject_to_cv_position
+from unigeo_tpu.ops.normals import surface_normals_from_points
+from unigeo_tpu.registry import MODELS
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _postprocess(decoded, intrinsics):
+    """decoded [Nf,H,W,3] 0..1 → (depths [Nf,H,W], normals_gl [Nf,H,W,3])."""
+    res = jnp.mean(decoded, axis=-1)  # channel mean
+    rmin = jnp.min(res)
+    rmax = jnp.max(res)
+    res = (res - rmin) / jnp.maximum(rmax - rmin, 1e-8)
+    depths = 1.0 / (res + 0.1)
+
+    pts = jax.vmap(backproject_to_cv_position)(depths, intrinsics)  # [Nf,H,W,3] CV
+    normals_cv = surface_normals_from_points(pts)
+    normals_gl = normals_cv * jnp.asarray([1.0, -1.0, -1.0])
+    return depths, normals_gl
+
+
+@MODELS.register("DepthCrafter")
+class DepthCrafter:
+    def __init__(
+        self,
+        unet_config: Optional[Dict[str, Any]] = None,
+        vae_config: Optional[Dict[str, Any]] = None,
+        clip_config: Optional[Dict[str, Any]] = None,
+        checkpoint_path: Optional[str] = None,
+        num_inference_steps: int = 5,
+        overlap: int = 25,
+        window_size: Optional[int] = None,
+        seed: int = 42,
+        init_height: int = 384,
+        init_width: int = 512,
+        init_frames: int = 25,
+        # reference-config compat (external torch paths are accepted and
+        # ignored so existing UniGeo YAMLs parse; weights load via
+        # checkpoint_path instead)
+        model_dir: Optional[str] = None,
+        unet_path: Optional[str] = None,
+        pre_train_path: Optional[str] = None,
+        **_: Dict,
+    ):
+        self.pipeline = DepthCrafterPipeline(
+            unet_config=unet_config, vae_config=vae_config, clip_config=clip_config
+        )
+        self.num_inference_steps = num_inference_steps
+        self.overlap = overlap
+        self.window_size = window_size
+        self.seed = seed
+        if checkpoint_path:
+            from unigeo_tpu.utils.checkpoint import load_params
+
+            self.pipeline.params = load_params(checkpoint_path)
+        else:
+            self.pipeline.init_params(
+                jax.random.PRNGKey(seed), init_height, init_width, init_frames
+            )
+
+    def prepare_input(self, data: Dict[str, Any]) -> np.ndarray:
+        images = np.asarray(data["images"])  # [Nf,3,H,W] 0..255
+        return np.moveaxis(images, 1, -1).astype(np.float32) / 255.0
+
+    def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        frames = self.prepare_input(data)
+        decoded = self.pipeline(
+            frames,
+            num_inference_steps=self.num_inference_steps,
+            window_size=self.window_size or len(frames),
+            overlap=self.overlap,
+            seed=self.seed,
+        )
+        intrinsics = jnp.asarray(np.asarray(data["intrinsics"], np.float32))
+        depths, normals = _postprocess(jnp.asarray(decoded), intrinsics)
+        return {
+            "pred_depths": np.asarray(depths),
+            "pred_normals": np.asarray(normals),
+        }

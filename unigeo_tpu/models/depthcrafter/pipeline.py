@@ -1,0 +1,208 @@
+"""DepthCrafter inference pipeline: VAE encode → denoise loop → decode.
+
+The compute hot path of the whole framework (SURVEY.md §3.3).  The external
+torch pipeline the reference calls (model/depthcrafter.py:79-90) becomes one
+jitted JAX program per window:
+
+    frames [T,H,W,3] 0..1
+      → ×2-1 → VAE.encode per frame → conditioning latents [T,h,w,4]
+      → CLIP-embed per frame → context [T,1,1024]
+      → x = noise · sqrt(σ_max²+1)
+      → lax.fori_loop over 5 sigmas:
+            x_in = concat([x/√(σ²+1), cond_latents], ch)
+            v = UNet(x_in, t(σ), context, added_time_ids)
+            x = euler_step(x, denoised(x, v, σ), σ, σ_next)
+      → VAE.decode(x) → [T,H,W,3] in [-1,1]
+
+Long clips run as overlapping windows whose latents are linearly blended on
+the overlap (the reference pipeline's window/overlap stitching,
+depthcrafter.py:87-88 — a no-op at window == clip length).
+
+bf16 activations on TPU, f32 parameters, one compilation per (T,H,W).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigeo_tpu.models.depthcrafter.scheduler import (
+    EulerDiscreteConfig,
+    EulerDiscreteScheduler,
+)
+from unigeo_tpu.models.depthcrafter.unet import UNetSpatioTemporal
+from unigeo_tpu.models.depthcrafter.vae import AutoencoderKLTemporal
+from unigeo_tpu.models.vit import ClipImageEmbedder
+
+
+class DepthCrafterPipeline:
+    """Holds module defs + params and exposes a jitted per-window forward."""
+
+    def __init__(
+        self,
+        unet_config: Optional[Dict[str, Any]] = None,
+        vae_config: Optional[Dict[str, Any]] = None,
+        clip_config: Optional[Dict[str, Any]] = None,
+        params: Optional[Dict[str, Any]] = None,
+        dtype=jnp.bfloat16,
+        fps: float = 7.0,
+        motion_bucket_id: float = 127.0,
+        noise_aug_strength: float = 0.02,
+    ):
+        self.unet = UNetSpatioTemporal(**(unet_config or {}))
+        self.vae = AutoencoderKLTemporal(**(vae_config or {}))
+        self.clip = ClipImageEmbedder(**(clip_config or {}))
+        self.scheduler = EulerDiscreteScheduler(EulerDiscreteConfig())
+        self.dtype = dtype
+        self.added_time_ids = np.array(
+            [[fps - 1.0, motion_bucket_id, noise_aug_strength]], np.float32
+        )
+        self.params = params
+
+    # ------------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array, height: int, width: int, num_frames: int):
+        """Random-init parameters (for benches/tests; real weights come from
+        utils/checkpoint.py torch conversion)."""
+        frames = jnp.zeros((num_frames, height, width, 3), jnp.float32)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        ctx_dim = self.unet.cross_attention_dim
+        # jit each init: one compiled program instead of thousands of eager
+        # dispatches (critical on remote/tunneled backends)
+        vae_params = jax.jit(
+            lambda r: self.vae.init(r, frames, num_frames)
+        )(r1)
+        clip_params = jax.jit(lambda r: self.clip.init(r, frames))(r2)
+        unet_params = jax.jit(
+            lambda r: self.unet.init(
+                r,
+                jnp.zeros((num_frames, height // 8, width // 8, 8), jnp.float32),
+                jnp.zeros((1,), jnp.float32),
+                jnp.zeros((num_frames, 1, ctx_dim), jnp.float32),
+                jnp.zeros((1, 3), jnp.float32),
+                num_frames,
+            )
+        )(r3)
+        self.params = {
+            "vae": vae_params["params"],
+            "clip": clip_params["params"],
+            "unet": unet_params["params"],
+        }
+        return self.params
+
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
+    def _run_window(self, params, frames, noise, num_inference_steps: int):
+        """frames [T,H,W,3] in 0..1 → decoded [T,H,W,3] (≈[-1,1])."""
+        t, h, w, _ = frames.shape
+        dtype = self.dtype
+        frames_pm1 = (frames * 2.0 - 1.0).astype(dtype)
+
+        cond_latents = self.vae.apply(
+            {"params": params["vae"]}, frames_pm1, method=self.vae.encode
+        ).astype(dtype)
+
+        context = self.clip.apply(
+            {"params": params["clip"]}, frames.astype(dtype)
+        ).astype(dtype)
+
+        sigmas_np = self.scheduler.inference_sigmas(num_inference_steps)
+        sigmas = jnp.asarray(sigmas_np)
+        timesteps = jnp.asarray(self.scheduler.timesteps_for_sigmas(sigmas_np[:-1]))
+        x = noise.astype(jnp.float32) * jnp.sqrt(sigmas[0] ** 2 + 1.0)
+        added = jnp.asarray(self.added_time_ids)
+
+        def step(i, x):
+            sigma = sigmas[i]
+            sigma_next = sigmas[i + 1]
+            x_in = self.scheduler.scale_model_input(x, sigma).astype(dtype)
+            unet_in = jnp.concatenate([x_in, cond_latents], axis=-1)
+            v = self.unet.apply(
+                {"params": params["unet"]},
+                unet_in,
+                jnp.full((1,), timesteps[i]),
+                context,
+                added,
+                t,
+            ).astype(jnp.float32)
+            denoised = self.scheduler.denoised_from_v(x, v, sigma)
+            return self.scheduler.euler_step(x, denoised, sigma, sigma_next)
+
+        x = jax.lax.fori_loop(0, num_inference_steps, step, x)
+
+        decoded = self.vae.apply(
+            {"params": params["vae"]}, x.astype(dtype), t, method=self.vae.decode
+        )
+        return decoded.astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        frames: np.ndarray,
+        num_inference_steps: int = 5,
+        window_size: Optional[int] = None,
+        overlap: int = 0,
+        seed: int = 42,
+    ) -> np.ndarray:
+        """frames [T,H,W,3] float 0..1 → [T,H,W,3] decoded output in 0..1.
+
+        Windows longer clips with linear blending on the overlap.
+        """
+        if self.params is None:
+            raise RuntimeError("pipeline has no params; call init_params or load")
+        t, h, w, _ = frames.shape
+        window_size = window_size or t
+        rng = jax.random.PRNGKey(seed)
+
+        if window_size >= t:
+            noise = jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)
+            out = self._run_window(
+                self.params, jnp.asarray(frames), noise, num_inference_steps
+            )
+            return np.asarray((out + 1.0) / 2.0)
+
+        stride = window_size - overlap
+        acc = np.zeros((t, h, w, 3), np.float32)
+        weight = np.zeros((t, 1, 1, 1), np.float32)
+        starts = list(range(0, t - overlap, stride))
+        for wi, start in enumerate(starts):
+            end = min(start + window_size, t)
+            start = end - window_size  # full windows only (last one re-covers)
+            chunk = jnp.asarray(frames[start:end])
+            noise = jax.random.normal(
+                jax.random.fold_in(rng, wi),
+                (window_size, h // 8, w // 8, 4),
+                jnp.float32,
+            )
+            out = np.asarray(
+                self._run_window(self.params, chunk, noise, num_inference_steps)
+            )
+            ramp = np.ones((window_size, 1, 1, 1), np.float32)
+            if wi > 0 and overlap > 0:
+                ramp[:overlap, 0, 0, 0] = np.linspace(0.0, 1.0, overlap, endpoint=False)
+            acc[start:end] += out * ramp
+            weight[start:end] += ramp
+        return (acc / np.maximum(weight, 1e-8) + 1.0) / 2.0
+
+
+def tiny_pipeline(height=64, width=64, num_frames=4, seed=0) -> DepthCrafterPipeline:
+    """A miniature pipeline for tests and CPU dry-runs."""
+    from unigeo_tpu.models.depthcrafter.unet import tiny_unet_config
+    from unigeo_tpu.models.depthcrafter.vae import tiny_vae_config
+    from unigeo_tpu.models.vit import tiny_clip_config
+
+    unet_cfg = tiny_unet_config()
+    pipe = DepthCrafterPipeline(
+        unet_config=unet_cfg,
+        vae_config=tiny_vae_config(),
+        clip_config=dict(tiny_clip_config(), projection_dim=unet_cfg["cross_attention_dim"]),
+        dtype=jnp.float32,
+    )
+    pipe.init_params(jax.random.PRNGKey(seed), height, width, num_frames)
+    return pipe

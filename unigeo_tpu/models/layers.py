@@ -1,0 +1,168 @@
+"""Shared neural-net building blocks for all model stacks (flax.linen).
+
+Layout convention: channels-last everywhere (NHWC for conv features,
+[B, S, C] for token sequences) — the native TPU conv/matmul layout.  Module
+and parameter names intentionally mirror the diffusers naming scheme
+(conv_in, time_embedding.linear_1, attn1.to_q, ...) so torch checkpoints map
+onto the param tree by name in utils/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unigeo_tpu.ops.attention import attention
+
+
+def sinusoidal_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Transformer sinusoidal timestep embedding ([N] → [N, dim])."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP lifting a sinusoidal embedding to the model width."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, name="linear_2")(x)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        groups = min(self.num_groups, x.shape[-1])
+        while x.shape[-1] % groups:
+            groups -= 1
+        return nn.GroupNorm(num_groups=groups, epsilon=self.epsilon)(x)
+
+
+class Attention(nn.Module):
+    """Multi-head attention over [B, S, C] with optional cross context.
+
+    Runs on the fused Pallas flash kernel for long sequences (TPU) via
+    unigeo_tpu.ops.attention.
+    """
+
+    num_heads: int
+    head_dim: Optional[int] = None
+    context_dim: Optional[int] = None
+    out_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        c = x.shape[-1]
+        head_dim = self.head_dim or c // self.num_heads
+        inner = head_dim * self.num_heads
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+
+        b, s, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, s, self.num_heads, head_dim)
+        k = k.reshape(b, sk, self.num_heads, head_dim)
+        v = v.reshape(b, sk, self.num_heads, head_dim)
+        out = attention(q, k, v)
+        out = out.reshape(b, s, inner)
+        return nn.Dense(c, use_bias=self.out_bias, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = GEGLU(c * self.mult, name="net_0")(x)
+        return nn.Dense(c, name="net_2")(h)
+
+
+class AlphaBlender(nn.Module):
+    """Learned scalar mix between the spatial and temporal branches.
+
+    alpha = sigmoid(mix_factor); out = alpha*spatial + (1-alpha)*temporal
+    (the "learned" merge strategy of video diffusion resnets/transformers).
+    """
+
+    @nn.compact
+    def __call__(self, x_spatial, x_temporal):
+        mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,))
+        alpha = jax.nn.sigmoid(mix)[0]
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class Conv2d(nn.Module):
+    """3x3/1x1 conv wrapper, NHWC, SAME padding by default."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel // 2 if self.padding is None else self.padding
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+        )(x)
+
+
+class TemporalConv(nn.Module):
+    """Conv over the frame axis only (kernel (k,1,1) in torch terms).
+
+    Input [B, T, H, W, C]; implemented as a 1D conv over T with the spatial
+    grid folded into the batch — XLA lowers it to one dense matmul.
+    """
+
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        xt = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        pad = self.kernel // 2
+        y = nn.Conv(self.features, (self.kernel,), padding=((pad, pad),))(xt)
+        return y.reshape(b, h, w, t, self.features).transpose(0, 3, 1, 2, 4)

@@ -1,0 +1,166 @@
+"""CUT3R-class recurrent pointmap model with a persistent state.
+
+Behavioral contract from the reference adapter (model/cut3r.py): frames
+stream through a continuously-updated state; per frame the model emits a
+self-view pointmap (depth = its z, :95), a world-view pointmap, and a 7-DoF
+pose encoding decoded to camera-to-world (:64-68); focal is recovered from
+the self-view pointmap by Weiszfeld (:70-79); normals from self-view points
+with the OpenGL flip (:87-91).
+
+TPU-first: the state is a fixed bank of learnable tokens; each frame does a
+bidirectional update (frame tokens cross-attend to state, state tokens
+cross-attend to the frame) inside an nn.scan — the whole video is one
+compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigeo_tpu import coords
+from unigeo_tpu.models.camera_solver import estimate_focal_weiszfeld
+from unigeo_tpu.models.pointmap.network import (
+    PointmapDecoder,
+    PointmapEncoder,
+    PointmapHead,
+    PoseHead,
+    normalize_images,
+)
+from unigeo_tpu.models.posecodec import pose_encoding_to_camera
+from unigeo_tpu.ops.normals import surface_normals_from_points
+from unigeo_tpu.registry import MODELS
+from unigeo_tpu.models.vit import ViTBlock
+
+
+class _RecurrentStep(nn.Module):
+    dec_width: int
+    dec_depth: int
+    dec_heads: int
+    state_update_depth: int = 2
+
+    @nn.compact
+    def __call__(self, state, tok):
+        # frame tokens read the state
+        dec = PointmapDecoder(
+            self.dec_width, self.dec_depth, self.dec_heads, name="decoder"
+        )(tok[None], state[None])[0]
+        # state tokens read the frame (recurrent update)
+        new_state = state
+        for i in range(self.state_update_depth):
+            new_state = ViTBlock(self.dec_heads, name=f"state_block_{i}")(
+                new_state[None], dec[None]
+            )[0]
+        return new_state, dec
+
+
+class Cut3RNetwork(nn.Module):
+    enc_width: int = 768
+    enc_depth: int = 8
+    enc_heads: int = 12
+    dec_width: int = 512
+    dec_depth: int = 6
+    dec_heads: int = 8
+    patch_size: int = 16
+    num_state_tokens: int = 64
+
+    @nn.compact
+    def __call__(self, frames):
+        """[T, H, W, 3] 0..1 → dict(self_pts, world_pts, conf, pose_enc)."""
+        imgs = normalize_images(frames)
+        enc_tokens, grid = PointmapEncoder(
+            self.enc_width, self.enc_depth, self.enc_heads, self.patch_size,
+            name="encoder",
+        )(imgs)
+
+        state0 = self.param(
+            "state_tokens",
+            nn.initializers.normal(0.02),
+            (self.num_state_tokens, self.dec_width),
+        )
+        ScannedStep = nn.scan(
+            _RecurrentStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        _, dec_tokens = ScannedStep(
+            self.dec_width, self.dec_depth, self.dec_heads, name="recurrent_step"
+        )(state0, enc_tokens)
+
+        self_pts, self_conf = PointmapHead(self.patch_size, name="head_self")(
+            dec_tokens, grid
+        )
+        world_pts, world_conf = PointmapHead(self.patch_size, name="head_world")(
+            dec_tokens, grid
+        )
+        pose_enc = PoseHead(name="head_pose")(dec_tokens)
+        return {
+            "self_pts": self_pts,
+            "world_pts": world_pts,
+            "conf": self_conf,
+            "world_conf": world_conf,
+            "pose_enc": pose_enc,
+        }
+
+
+@MODELS.register("Cut3R")
+class Cut3R:
+    def __init__(
+        self,
+        network_config: Optional[Dict[str, Any]] = None,
+        checkpoint_path: Optional[str] = None,
+        seed: int = 0,
+        init_height: int = 384,
+        init_width: int = 512,
+        init_frames: int = 2,
+        # reference-config compat (accepted, unused)
+        model_dir: Optional[str] = None,
+        ckpt_path: Optional[str] = None,
+        **_: Dict,
+    ):
+        self.network = Cut3RNetwork(**(network_config or {}))
+        if checkpoint_path:
+            from unigeo_tpu.utils.checkpoint import load_params
+
+            self.params = load_params(checkpoint_path)
+        else:
+            self.params = self.network.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((init_frames, init_height, init_width, 3)),
+            )
+        self._forward = jax.jit(lambda p, f: self.network.apply(p, f))
+
+    def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        frames = (
+            np.moveaxis(np.asarray(data["images"]), 1, -1).astype(np.float32) / 255.0
+        )
+        out = self._forward(self.params, jnp.asarray(frames))
+
+        poses = np.asarray(pose_encoding_to_camera(out["pose_enc"]))  # c2w CV
+        depths = np.asarray(out["self_pts"][..., 2])
+        focal = float(estimate_focal_weiszfeld(out["self_pts"][0]))
+        normals_cv = np.asarray(surface_normals_from_points(out["self_pts"]))
+        normals_gl = normals_cv * np.asarray([1.0, -1.0, -1.0], np.float32)
+
+        return {
+            "pred_world_pts": np.asarray(out["world_pts"]),
+            "pred_depths": depths,
+            "pred_normals": normals_gl,
+            "pred_poses": poses.astype(np.float32),
+            "pred_conf": np.asarray(out["conf"]),
+            "pred_focal": focal,
+        }
+
+
+def tiny_cut3r_config():
+    return dict(
+        enc_width=64, enc_depth=2, enc_heads=2,
+        dec_width=48, dec_depth=2, dec_heads=2,
+        patch_size=16, num_state_tokens=8,
+    )

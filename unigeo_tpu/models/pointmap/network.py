@@ -1,0 +1,99 @@
+"""Shared backbone for feed-forward pointmap regressors (CroCo/DUSt3R
+lineage): ViT patch encoder, cross-attending decoder, pointmap head.
+
+The reference wraps external torch checkpoints of this family
+(model/spann3r.py:16-21 — Spann3R on a DUSt3R ViT; model/cut3r.py:18-26 —
+ARCroco3DStereo).  This is the native TPU implementation those stacks share:
+per-frame ViT encoding (frames folded into batch, fused Pallas attention),
+a decoder whose blocks self-attend within a frame and cross-attend to
+context tokens (memory / other view / state), and a linear patch head
+emitting per-pixel 3D points + confidence.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from unigeo_tpu.models.vit import PatchEmbed, ViTBlock, sincos_2d_pos_embed
+
+
+class PointmapEncoder(nn.Module):
+    width: int = 768
+    depth: int = 8
+    num_heads: int = 12
+    patch_size: int = 16
+
+    @nn.compact
+    def __call__(self, images):
+        """[B, H, W, 3] (≈[-1,1]) → tokens [B, N, width], grid (gh, gw)."""
+        tokens, (gh, gw) = PatchEmbed(self.width, self.patch_size, name="patch_embed")(
+            images
+        )
+        tokens = tokens + sincos_2d_pos_embed(self.width, gh, gw)[None]
+        for i in range(self.depth):
+            tokens = ViTBlock(self.num_heads, name=f"block_{i}")(tokens)
+        return nn.LayerNorm(name="norm")(tokens), (gh, gw)
+
+
+class PointmapDecoder(nn.Module):
+    width: int = 512
+    depth: int = 6
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, tokens, context):
+        """tokens [B, N, C_enc] cross-attend to context [B, M, width]."""
+        h = nn.Dense(self.width, name="proj_in")(tokens)
+        for i in range(self.depth):
+            h = ViTBlock(self.num_heads, name=f"block_{i}")(h, context)
+        return nn.LayerNorm(name="norm")(h)
+
+
+class PointmapHead(nn.Module):
+    """Linear patch head: tokens → [H, W, 3] points + [H, W] confidence.
+
+    Depth-range handling: z comes out through an exp, matching the
+    DUSt3R-family convention of positive-depth parameterization.
+    """
+
+    patch_size: int = 16
+
+    @nn.compact
+    def __call__(self, tokens, grid: Tuple[int, int]):
+        gh, gw = grid
+        p = self.patch_size
+        out = nn.Dense(p * p * 4, name="proj")(tokens)  # xyz + conf
+        b = tokens.shape[0]
+        out = out.reshape(b, gh, gw, p, p, 4)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * p, gw * p, 4)
+        xyz = out[..., :3]
+        # positive-z parameterization: keep xy linear, softplus-ish z
+        z = jnp.exp(jnp.clip(xyz[..., 2:3], -10.0, 8.0))
+        pts = jnp.concatenate([xyz[..., :2], z], axis=-1)
+        conf = 1.0 + jnp.exp(jnp.clip(out[..., 3], -10.0, 8.0))
+        return pts, conf
+
+
+class PoseHead(nn.Module):
+    """Pool tokens → 7-DoF absT_quaR pose encoding."""
+
+    @nn.compact
+    def __call__(self, tokens):
+        pooled = jnp.mean(tokens, axis=1)
+        h = nn.Dense(256, name="fc1")(pooled)
+        h = nn.gelu(h)
+        enc = nn.Dense(7, name="fc2")(h)
+        # bias the quaternion toward identity: add (1,0,0,0)
+        quat = enc[..., 3:] + jnp.asarray([1.0, 0.0, 0.0, 0.0])
+        quat = quat / jnp.maximum(
+            jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-8
+        )
+        return jnp.concatenate([enc[..., :3], quat], axis=-1)
+
+
+def normalize_images(images01):
+    """0..1 images → ±0.5-normalized (DUSt3R's ImgNorm, model/utils.py:19)."""
+    return (images01 - 0.5) / 0.5

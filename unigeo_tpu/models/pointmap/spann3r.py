@@ -1,0 +1,165 @@
+"""Spann3R-class sequential pointmap regression with spatial memory.
+
+Behavioral contract from the reference adapter (model/spann3r.py): frames
+stream through a memory-augmented network that predicts each frame's
+pointmap directly in the frame-0 (world) coordinate system; depth and
+cameras are then *recovered from the pointmaps* via focal estimation + PnP
+(reference: model/spann3r.py:41-56 → metrics/utils.py:120-160), poses are
+inverted extrinsics, and normals come from the recovered camera points with
+the OpenGL flip.
+
+TPU-first design: the frame loop is a lax.scan whose carry is a fixed-size
+ring memory of encoder/decoder tokens (the reference's unbounded spatial
+memory becomes a static-shape ring buffer so the whole sequence compiles to
+one program).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unigeo_tpu import coords
+from unigeo_tpu.models.camera_solver import solve_depth_and_camera_from_pointmaps
+from unigeo_tpu.models.pointmap.network import (
+    PointmapDecoder,
+    PointmapEncoder,
+    PointmapHead,
+    normalize_images,
+)
+from unigeo_tpu.ops.normals import surface_normals_from_points
+from unigeo_tpu.registry import MODELS
+
+
+class _MemoryStep(nn.Module):
+    """One frame through the memory decoder (scanned over frames)."""
+
+    dec_width: int
+    dec_depth: int
+    dec_heads: int
+    memory_frames: int
+
+    @nn.compact
+    def __call__(self, carry, tok):
+        mem, mem_mask, slot = carry
+        n_tok = tok.shape[0]
+        # decode current frame against [its own projection ⊕ ring memory]
+        self_ctx = nn.Dense(self.dec_width, name="memory_proj")(tok)
+        ctx = jnp.concatenate([self_ctx, mem * mem_mask[:, None]], axis=0)
+        dec = PointmapDecoder(
+            self.dec_width, self.dec_depth, self.dec_heads, name="decoder"
+        )(tok[None], ctx[None])[0]
+        # write this frame's decoder tokens into the ring buffer
+        start = (slot % self.memory_frames) * n_tok
+        mem = jax.lax.dynamic_update_slice(mem, dec, (start, 0))
+        mem_mask = jax.lax.dynamic_update_slice(
+            mem_mask, jnp.ones((n_tok,)), (start,)
+        )
+        return (mem, mem_mask, slot + 1), dec
+
+
+class Spann3RNetwork(nn.Module):
+    """Sequential pointmap network with a token ring-memory."""
+
+    enc_width: int = 768
+    enc_depth: int = 8
+    enc_heads: int = 12
+    dec_width: int = 512
+    dec_depth: int = 6
+    dec_heads: int = 8
+    patch_size: int = 16
+    memory_frames: int = 4  # ring buffer capacity (static)
+
+    @nn.compact
+    def __call__(self, frames):
+        """frames [T, H, W, 3] in 0..1 → (world pts [T, H, W, 3], conf)."""
+        t, h, w, _ = frames.shape
+        imgs = normalize_images(frames)
+        enc_tokens, grid = PointmapEncoder(
+            self.enc_width, self.enc_depth, self.enc_heads, self.patch_size,
+            name="encoder",
+        )(imgs)  # [T, N, C]
+        n_tok = enc_tokens.shape[1]
+
+        mem_size = self.memory_frames * n_tok
+        init_mem = jnp.zeros((mem_size, self.dec_width), enc_tokens.dtype)
+        init_mask = jnp.zeros((mem_size,), jnp.float32)
+
+        ScannedStep = nn.scan(
+            _MemoryStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        (_, _, _), dec_tokens = ScannedStep(
+            self.dec_width, self.dec_depth, self.dec_heads, self.memory_frames,
+            name="memory_step",
+        )((init_mem, init_mask, jnp.int32(0)), enc_tokens)
+
+        pts, conf = PointmapHead(self.patch_size, name="head")(dec_tokens, grid)
+        return pts, conf
+
+
+@MODELS.register("Spann3R")
+class Spann3R:
+    def __init__(
+        self,
+        network_config: Optional[Dict[str, Any]] = None,
+        checkpoint_path: Optional[str] = None,
+        seed: int = 0,
+        init_height: int = 384,
+        init_width: int = 512,
+        init_frames: int = 2,
+        # reference-config compat (accepted, unused)
+        model_dir: Optional[str] = None,
+        ckpt_path: Optional[str] = None,
+        dust3r_path: Optional[str] = None,
+        **_: Dict,
+    ):
+        self.network = Spann3RNetwork(**(network_config or {}))
+        if checkpoint_path:
+            from unigeo_tpu.utils.checkpoint import load_params
+
+            self.params = load_params(checkpoint_path)
+        else:
+            self.params = self.network.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((init_frames, init_height, init_width, 3)),
+            )
+        self._forward = jax.jit(
+            lambda p, f: self.network.apply(p, f)
+        )
+
+    def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        frames = (
+            np.moveaxis(np.asarray(data["images"]), 1, -1).astype(np.float32) / 255.0
+        )
+        pts, conf = self._forward(self.params, jnp.asarray(frames))
+
+        cam_pts, extrinsics, _ = solve_depth_and_camera_from_pointmaps(pts)
+        poses = coords.se3_inverse(np.asarray(extrinsics))  # c2w (OpenCV)
+        depths = np.asarray(cam_pts[..., 2])
+        normals_cv = np.asarray(surface_normals_from_points(cam_pts))
+        normals_gl = normals_cv * np.asarray([1.0, -1.0, -1.0], np.float32)
+
+        return {
+            "pred_world_pts": np.asarray(pts),
+            "pred_depths": depths,
+            "pred_normals": normals_gl,
+            "pred_poses": poses.astype(np.float32),
+            "pred_conf": np.asarray(conf),
+        }
+
+
+def tiny_spann3r_config():
+    return dict(
+        enc_width=64, enc_depth=2, enc_heads=2,
+        dec_width=48, dec_depth=2, dec_heads=2,
+        patch_size=16, memory_frames=2,
+    )

