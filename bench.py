@@ -32,15 +32,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 A100_REF_FPS = 2.0  # estimated reference throughput (see module docstring)
 
 
-def _random_params_like(shapes, seed=0, scale=0.02):
-    """One jitted program generating the whole random param tree."""
+def _random_params_like(shapes, seed=0, scale=0.02, dtype=jnp.bfloat16):
+    """Random param tree in ONE cheap-to-compile program: a single flat
+    normal draw sliced into leaves (one RNG op instead of one per leaf)."""
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    sizes = [int(np.prod(s.shape)) for s in leaves]
+    total = sum(sizes)
+    offsets = np.cumsum([0] + sizes[:-1])
 
     @jax.jit
     def gen(key):
-        keys = jax.random.split(key, len(leaves))
+        flat = jax.random.normal(key, (total,), dtype) * scale
         return [
-            jax.random.normal(k, s.shape, jnp.float32) * scale for k, s in zip(keys, leaves)
+            jax.lax.dynamic_slice(flat, (int(o),), (n,)).reshape(s.shape)
+            for o, n, s in zip(offsets, sizes, leaves)
         ]
 
     vals = gen(jax.random.PRNGKey(seed))
@@ -85,10 +90,8 @@ def main():
                 rng,
             )["params"],
         }
-        params = _random_params_like(shapes)
         # bf16 weights: halves HBM traffic, feeds the MXU natively
-        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        pipe.params = params
+        pipe.params = _random_params_like(shapes, dtype=jnp.bfloat16)
 
     frames = jnp.asarray(
         np.random.default_rng(0).uniform(size=(t, h, w, 3)).astype(np.float32)

@@ -1,0 +1,76 @@
+"""Trajectory-file readers (replace the evo dependency).
+
+(reference: metrics/evo_utils.py:18-148 loads replica/sintel/tum formats via
+evo; dataset/bonn/bonn.py:64-66 reads TUM ground truth with
+evo.tools.file_interface.)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from unigeo_tpu.metrics.camera import quaternion_to_matrix
+
+
+def read_tum_trajectory(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """TUM format: ``timestamp tx ty tz qx qy qz qw`` per line (# comments).
+
+    Returns (poses [N,4,4] camera-to-world, timestamps [N]).
+    """
+    rows = []
+    stamps = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = [float(x) for x in line.replace(",", " ").split()]
+            if len(vals) < 8:
+                continue
+            stamps.append(vals[0])
+            rows.append(vals[1:8])
+    data = np.asarray(rows, np.float64)  # [N, 7]: t xyz, q xyzw
+    t = data[:, :3]
+    q_xyzw = data[:, 3:7]
+    q_wxyz = np.concatenate([q_xyzw[:, 3:4], q_xyzw[:, :3]], axis=1)
+    R = np.asarray(quaternion_to_matrix(q_wxyz))
+    poses = np.tile(np.eye(4), (len(rows), 1, 1))
+    poses[:, :3, :3] = R
+    poses[:, :3, 3] = t
+    return poses.astype(np.float32), np.asarray(stamps)
+
+
+def write_tum_trajectory(path: str, poses: np.ndarray, timestamps=None) -> None:
+    """Inverse of read_tum_trajectory (for interop/debugging)."""
+    from unigeo_tpu.metrics.camera import matrix_to_quaternion
+
+    poses = np.asarray(poses)
+    if timestamps is None:
+        timestamps = np.arange(len(poses), dtype=float)
+    q = np.asarray(matrix_to_quaternion(poses[:, :3, :3]))  # wxyz
+    with open(path, "w") as f:
+        for i, pose in enumerate(poses):
+            t = pose[:3, 3]
+            f.write(
+                f"{timestamps[i]} {t[0]} {t[1]} {t[2]} "
+                f"{q[i,1]} {q[i,2]} {q[i,3]} {q[i,0]}\n"
+            )
+
+
+def read_matrix_trajectory(path: str, rows_per_matrix: int = 1) -> np.ndarray:
+    """Trajectory stored as flattened 4x4 row-major matrices.
+
+    rows_per_matrix=1: one 16-value line per pose (Replica traj_w_cgl.txt).
+    rows_per_matrix=4: 4 lines of 4 values per pose (NeuralRGBD poses.txt).
+    """
+    if rows_per_matrix == 1:
+        return np.loadtxt(path).reshape(-1, 4, 4).astype(np.float32)
+    with open(path) as f:
+        lines = [ln for ln in f.readlines()]
+    poses = []
+    for i in range(0, len(lines), rows_per_matrix):
+        chunk = lines[i : i + rows_per_matrix]
+        poses.append([[float(x) for x in ln.split()] for ln in chunk])
+    return np.asarray(poses, np.float32)

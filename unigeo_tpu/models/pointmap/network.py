@@ -17,7 +17,12 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from unigeo_tpu.models.vit import PatchEmbed, ViTBlock, sincos_2d_pos_embed
+from unigeo_tpu.models.vit import (
+    PatchEmbed,
+    ScannedViTBlocks,
+    ViTBlock,
+    sincos_2d_pos_embed,
+)
 
 
 class PointmapEncoder(nn.Module):
@@ -33,8 +38,7 @@ class PointmapEncoder(nn.Module):
             images
         )
         tokens = tokens + sincos_2d_pos_embed(self.width, gh, gw)[None]
-        for i in range(self.depth):
-            tokens = ViTBlock(self.num_heads, name=f"block_{i}")(tokens)
+        tokens = ScannedViTBlocks(self.depth, self.num_heads, name="blocks")(tokens)
         return nn.LayerNorm(name="norm")(tokens), (gh, gw)
 
 
@@ -47,8 +51,9 @@ class PointmapDecoder(nn.Module):
     def __call__(self, tokens, context):
         """tokens [B, N, C_enc] cross-attend to context [B, M, width]."""
         h = nn.Dense(self.width, name="proj_in")(tokens)
-        for i in range(self.depth):
-            h = ViTBlock(self.num_heads, name=f"block_{i}")(h, context)
+        h = ScannedViTBlocks(
+            self.depth, self.num_heads, with_cross=True, name="blocks"
+        )(h, context)
         return nn.LayerNorm(name="norm")(h)
 
 

@@ -47,6 +47,45 @@ class ViTBlock(nn.Module):
         return x
 
 
+class _BlockStep(nn.Module):
+    """Carry-style ViT block for nn.scan (layer params stacked on axis 0)."""
+
+    num_heads: int
+    with_cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = ViTBlock(self.num_heads, name="block")(
+            x, context if self.with_cross else None
+        )
+        return x, None
+
+
+class ScannedViTBlocks(nn.Module):
+    """A stack of identical ViT blocks compiled as ONE scanned program.
+
+    XLA compile time scales with program size; unrolling 32 CLIP-H blocks
+    costs 32× the compile of one.  nn.scan stacks the per-layer params on a
+    leading axis and rolls the loop — same math, 1/depth the HLO.
+    """
+
+    depth: int
+    num_heads: int
+    with_cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, context: Optional[jnp.ndarray] = None):
+        Scan = nn.scan(
+            _BlockStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+            in_axes=nn.broadcast,
+        )
+        x, _ = Scan(self.num_heads, self.with_cross, name="layers")(x, context)
+        return x
+
+
 class PatchEmbed(nn.Module):
     width: int
     patch_size: int
@@ -117,8 +156,7 @@ class VisionTransformer(nn.Module):
             tokens = jnp.concatenate([cls_tok, tokens], axis=1)
 
         tokens = nn.LayerNorm(name="pre_norm")(tokens)
-        for i in range(self.depth):
-            tokens = ViTBlock(self.num_heads, name=f"block_{i}")(tokens)
+        tokens = ScannedViTBlocks(self.depth, self.num_heads, name="blocks")(tokens)
         tokens = nn.LayerNorm(name="post_norm")(tokens)
         return tokens, (gh, gw)
 
