@@ -1,0 +1,165 @@
+"""Tests for auxiliary subsystems: metric extras, writers, savers, prefetch,
+geometry ops, trajectories."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+
+def test_completion_ratio_and_voxel_iou(rng):
+    from unigeo_tpu.metrics.extras import completion_ratio, voxel_iou
+
+    pts = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+    assert completion_ratio(pts, pts + 1e-4, dist_th=0.05) == 1.0
+    assert completion_ratio(pts, pts + 10.0, dist_th=0.05) == 0.0
+    assert voxel_iou(pts, pts, voxel_size=0.2) == 1.0
+    assert voxel_iou(pts, pts + 50.0, voxel_size=0.2) == 0.0
+
+
+def test_align_pcd(rng):
+    from unigeo_tpu.metrics.extras import align_pcd
+
+    pts = rng.uniform(-1, 1, size=(400, 3)).astype(np.float32)
+    R = Rotation.from_rotvec([0.02, 0.03, -0.01]).as_matrix().astype(np.float32)
+    dst = pts @ R.T + np.array([0.01, -0.02, 0.015], np.float32)
+    T, moved = align_pcd(pts, dst)
+    assert np.linalg.norm(moved - dst, axis=1).mean() < 1e-3
+
+
+def test_depth_eval_global_coord(rng):
+    from unigeo_tpu.metrics.extras import depth_evaluation_in_global_coord
+
+    nf, h, w = 2, 24, 32
+    K = np.array([[40.0, 0, 16], [0, 40.0, 12], [0, 0, 1]], np.float32)
+    depth = rng.uniform(1, 3, size=(nf, h, w)).astype(np.float32)
+    c2w = np.tile(np.eye(4, dtype=np.float32), (nf, 1, 1))
+    c2w[1, :3, 3] = [0.2, 0, 0.1]
+    from unigeo_tpu.ops.backproject import backproject_batch_cv
+
+    cam = np.asarray(backproject_batch_cv(depth, np.tile(K[None], (nf, 1, 1))))
+    world = np.einsum("nij,nhwj->nhwi", c2w[:, :3, :3], cam) + c2w[:, None, None, :3, 3]
+    radius = np.linalg.norm(world, axis=-1)
+
+    res, aligned = depth_evaluation_in_global_coord(
+        depth, depth, radius, c2w, np.tile(K[None], (nf, 1, 1))
+    )
+    assert res["Abs Rel"] < 1e-4  # identical depth → perfect radial score
+
+
+def test_geometry_ops(rng):
+    from unigeo_tpu.ops.geometry import (
+        depthmap_to_pts3d,
+        geotrf,
+        weighted_procrustes,
+        xy_grid,
+        reciprocal_nn_matches,
+    )
+
+    grid = np.asarray(xy_grid(4, 3))
+    assert grid.shape == (3, 4, 2)
+    assert grid[0, 0, 0] == 0 and grid[2, 3, 1] == 2
+
+    K = jnp.asarray([[50.0, 0, 16], [0, 50.0, 12], [0, 0, 1]])
+    depth = jnp.ones((24, 32)) * 2.0
+    pts = depthmap_to_pts3d(depth, K)
+    assert pts.shape == (24, 32, 3)
+    assert float(pts[12, 16, 2]) == 2.0
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [1, 2, 3]
+    out = np.asarray(geotrf(jnp.asarray(T), jnp.zeros((5, 3))))
+    assert np.allclose(out, [1, 2, 3])
+
+    src = rng.normal(size=(50, 3)).astype(np.float32)
+    R = Rotation.from_rotvec([0.2, -0.1, 0.3]).as_matrix().astype(np.float32)
+    dst = 1.7 * src @ R.T + np.array([1, 2, 3], np.float32)
+    T2 = np.asarray(weighted_procrustes(src, dst, with_scale=True))
+    moved = src @ T2[:3, :3].T + T2[:3, 3]
+    assert np.abs(moved - dst).max() < 1e-2
+
+    a = rng.normal(size=(30, 3)).astype(np.float32)
+    mutual, idx = reciprocal_nn_matches(jnp.asarray(a), jnp.asarray(a + 1e-5))
+    assert bool(np.asarray(mutual).all())
+    assert np.array_equal(np.asarray(idx), np.arange(30))
+
+
+def test_tum_trajectory_roundtrip(tmp_path, rng):
+    from unigeo_tpu.data.trajectories import read_tum_trajectory, write_tum_trajectory
+
+    n = 6
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, :3, :3] = Rotation.random(n, random_state=3).as_matrix()
+    poses[:, :3, 3] = rng.normal(size=(n, 3))
+    path = tmp_path / "traj.txt"
+    write_tum_trajectory(str(path), poses)
+    loaded, stamps = read_tum_trajectory(str(path))
+    assert np.allclose(loaded, poses, atol=1e-5)
+    assert np.allclose(stamps, np.arange(n))
+
+
+def test_event_writer_and_timer(tmp_path):
+    import json
+
+    from unigeo_tpu.utils.writers import EventWriter, TimeWriter
+
+    writer = EventWriter(str(tmp_path))
+    writer.put_scalar("loss", 0.5, step=1)
+    writer.put_scalars({"a": 1.0, "b": 2.0}, step=2)
+    lines = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
+    assert len(lines) == 3
+    assert lines[0]["name"] == "loss" and lines[0]["value"] == 0.5
+
+    timer = TimeWriter(writer, name="step_time", total_steps=4)
+    for _ in range(2):
+        with timer:
+            pass
+    assert timer.avg >= 0.0
+    assert timer.eta_seconds is not None
+
+
+def test_train_state_saver(tmp_path):
+    from unigeo_tpu.utils.checkpoint import TrainStateSaver
+
+    saver = TrainStateSaver(str(tmp_path / "ckpts"), max_to_keep=2)
+    state = {"w": np.arange(6, dtype=np.float32).reshape(2, 3), "step": np.int32(1)}
+    for step in (10, 20, 30):
+        state["step"] = np.int32(step)
+        saver.save(dict(state), step)
+    assert saver.list_steps() == [20, 30]  # rotation kept 2
+    loaded, step = saver.load_latest()
+    assert step == 30
+    assert np.array_equal(loaded["w"], state["w"])
+
+
+def test_prefetch_loader_order_and_content():
+    from unigeo_tpu.data.prefetch import PrefetchLoader
+
+    class SlowDataset:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            import time
+
+            time.sleep(0.01)
+            return {"idx": i, "images": np.full((2, 2), i)}
+
+    loader = PrefetchLoader(SlowDataset(), num_workers=4, prefetch=4)
+    out = list(loader)
+    assert [d["idx"] for d in out] == list(range(10))
+
+
+def test_pose_codec_roundtrip(rng):
+    from unigeo_tpu.models.posecodec import (
+        camera_to_pose_encoding,
+        pose_encoding_to_camera,
+    )
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    poses[:, :3, :3] = Rotation.random(5, random_state=11).as_matrix()
+    poses[:, :3, 3] = rng.normal(size=(5, 3))
+    enc = camera_to_pose_encoding(jnp.asarray(poses))
+    assert enc.shape == (5, 7)
+    back = np.asarray(pose_encoding_to_camera(enc))
+    assert np.allclose(back, poses, atol=1e-4)

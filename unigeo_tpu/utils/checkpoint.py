@@ -24,6 +24,45 @@ from typing import Any, Dict
 import numpy as np
 
 
+class TrainStateSaver:
+    """Rotating checkpoint saver for full train states.
+
+    (reference: dataset_core/utils/checkpoint_utils.py:56-116 — max_to_keep
+    rotation with ``-iter-NNNNNNNNN`` suffix parsing; orbax-backed here.)
+    """
+
+    def __init__(self, base_dir: str, max_to_keep: int = 3):
+        self.base_dir = os.path.abspath(base_dir)
+        self.max_to_keep = max_to_keep
+        os.makedirs(self.base_dir, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.base_dir, f"state-iter-{step:09d}")
+
+    def list_steps(self):
+        steps = []
+        for name in os.listdir(self.base_dir):
+            m = re.match(r"state-iter-(\d+)$", name)
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def save(self, state: Any, step: int) -> str:
+        path = self._path(step)
+        save_params(state, path)
+        for old in self.list_steps()[: -self.max_to_keep]:
+            import shutil
+
+            shutil.rmtree(self._path(old), ignore_errors=True)
+        return path
+
+    def load_latest(self) -> Any:
+        steps = self.list_steps()
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {self.base_dir}")
+        return load_params(self._path(steps[-1])), steps[-1]
+
+
 def save_params(params: Any, path: str) -> None:
     import orbax.checkpoint as ocp
 
