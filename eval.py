@@ -18,6 +18,11 @@ def main():
     parser.add_argument("--output", default="./debug_output", help="results dir")
     parser.add_argument("--max-clips", type=int, default=None)
     parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--strict", action="store_true",
+                        help="validate the clip-sample contract per clip")
+    parser.add_argument("--debug-nans", action="store_true")
+    parser.add_argument("--num-workers", type=int, default=0,
+                        help="prefetch clips with this many threads")
     args = parser.parse_args()
 
     cfg = EvalConfig.from_yaml(args.config)
@@ -26,6 +31,9 @@ def main():
         save_dir=args.output,
         resume=not args.no_resume,
         max_clips=args.max_clips,
+        strict=args.strict,
+        debug_nans=args.debug_nans,
+        num_workers=args.num_workers,
     )
     print("Averages:")
     for name, value in manager.calculate_averages().items():

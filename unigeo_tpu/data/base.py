@@ -117,6 +117,10 @@ class ClipDataset:
         verbose: bool = False,
         **_: Dict,
     ):
+        if root is None:
+            from unigeo_tpu.data.paths import resolve_root
+
+            root = resolve_root(self.base_dataset)
         self.root = root
         self.split = split
         self.clip_length = clip_length

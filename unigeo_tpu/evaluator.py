@@ -85,8 +85,21 @@ def run_evaluation(
     dataset=None,
     model=None,
     verbose: bool = True,
+    strict: bool = False,
+    debug_nans: bool = False,
+    num_workers: int = 0,
 ) -> MetricsManager:
-    """The full eval loop: dataset → model → GT → metrics → CSV."""
+    """The full eval loop: dataset → model → GT → metrics → CSV.
+
+    strict: validate the clip-sample contract on every clip (shape/dtype
+        checking on the executor boundary, SURVEY.md §5 "race detection").
+    debug_nans: enable jax.debug_nans for the run.
+    num_workers: >0 prefetches clips with a thread pool (data/prefetch.py).
+    """
+    if debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(save_dir, exist_ok=True)
     save_path = os.path.join(save_dir, "metrics.csv")
 
@@ -104,11 +117,23 @@ def run_evaluation(
 
     timer = ClipTimer()
     n = len(dataset) if max_clips is None else min(max_clips, len(dataset))
-    for data_idx in range(n):
-        data = dataset[data_idx]
+    if num_workers > 0:
+        from unigeo_tpu.data.prefetch import PrefetchLoader
+
+        stream = zip(range(n), PrefetchLoader(
+            dataset, num_workers=num_workers, indices=range(n)
+        ))
+    else:
+        stream = ((i, dataset[i]) for i in range(n))
+
+    for data_idx, data in stream:
         seq = f"{data_idx:03d}_{data['scene_name']}"
         if resume and manager.has_sequence(seq):
             continue
+        if strict:
+            from unigeo_tpu.data.sample import validate_sample
+
+            validate_sample(data)
         if verbose:
             print(f"processing seq: {seq}")
 
