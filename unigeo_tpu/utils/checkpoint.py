@@ -123,13 +123,27 @@ def graft_flat_params(flax_params: Any, flat: Dict[tuple, np.ndarray], strict: b
 
     matched, missed = 0, []
 
+    def common_suffix_len(a: tuple, b: tuple) -> int:
+        n = 0
+        for x, y in zip(reversed(a), reversed(b)):
+            if x != y:
+                break
+            n += 1
+        return n
+
     def visit(path, leaf):
         nonlocal matched
         names = tuple(str(getattr(k, "key", k)) for k in path)
+        best, best_score = None, 0
         for tk, arr in flat.items():
-            if names[-len(tk):] == tk and leaf.shape == arr.shape:
-                matched += 1
-                return np.asarray(arr, leaf.dtype)
+            if leaf.shape != arr.shape:
+                continue
+            score = common_suffix_len(names, tk)
+            if score > best_score:
+                best, best_score = arr, score
+        if best is not None and best_score >= 1:
+            matched += 1
+            return np.asarray(best, leaf.dtype)
         missed.append(names)
         return leaf
 
