@@ -1,0 +1,87 @@
+"""Training-step tests: diffusion trainer and pointmap trainer on the
+8-virtual-device mesh; losses decrease over a few steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unigeo_tpu.parallel.mesh import make_mesh
+
+
+def test_diffusion_train_step_decreases_loss():
+    from unigeo_tpu.models.depthcrafter.unet import UNetSpatioTemporal, tiny_unet_config
+    from unigeo_tpu.parallel.trainer import DiffusionTrainer
+
+    mesh = make_mesh(8)
+    # 2-stage micro config: the UNet is stage-count flexible, and grad
+    # compilation of the 4-stage tiny config costs minutes on CPU
+    cfg = dict(tiny_unet_config(), block_out_channels=(16, 24),
+               num_attention_heads=(1, 1))
+    unet = UNetSpatioTemporal(**cfg)
+    b, t, h, w = 2, 4, 8, 8
+    ctx_dim = unet.cross_attention_dim
+    params = unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b * t, h, w, 8)), jnp.zeros((b,)),
+        jnp.zeros((b * t, 1, ctx_dim)), jnp.zeros((b, 3)), t,
+    )["params"]
+
+    with mesh:
+        trainer = DiffusionTrainer(unet, mesh, learning_rate=1e-3)
+        state = trainer.init_state(params)
+        rng = np.random.default_rng(0)
+        batch = {
+            "latents": jnp.asarray(rng.normal(size=(b, t, h, w, 4)), jnp.float32),
+            "cond_latents": jnp.zeros((b, t, h, w, 4), jnp.float32),
+            "context": jnp.zeros((b, t, 1, ctx_dim), jnp.float32),
+        }
+        losses = []
+        for i in range(5):
+            state, loss = trainer.train_step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 5
+    # same noise schedule per step varies; check the trend over repeats of
+    # the same rng key: one extra step with key 0 must beat the first
+    state2, loss_again = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+    assert float(loss_again) < losses[0]
+
+
+def test_pointmap_train_step_decreases_loss():
+    from unigeo_tpu.models.pointmap.cut3r import Cut3RNetwork, tiny_cut3r_config
+    from unigeo_tpu.parallel.trainer import PointmapTrainer
+
+    mesh = make_mesh(8)
+    net = Cut3RNetwork(**tiny_cut3r_config())
+    b, t, h, w = 2, 2, 32, 32
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((t, h, w, 3)))
+    rng = np.random.default_rng(1)
+    batch = {
+        "frames": jnp.asarray(rng.uniform(size=(b, t, h, w, 3)), jnp.float32),
+        "gt_world_pts": jnp.asarray(rng.normal(size=(b, t, h, w, 3)) + [0, 0, 2.0], jnp.float32),
+        "mask": jnp.ones((b, t, h, w), jnp.float32),
+        "gt_poses": jnp.broadcast_to(jnp.eye(4), (b, t, 4, 4)),
+    }
+    with mesh:
+        trainer = PointmapTrainer(net, mesh, learning_rate=3e-4)
+        state = trainer.init_state(params)
+        losses = []
+        for _ in range(6):
+            state, loss = trainer.train_step(state, batch)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_pointmap_loss_perfect_prediction_zero():
+    from unigeo_tpu.models.pointmap.losses import pointmap_regression_loss
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    valid = jnp.ones((2, 8, 8))
+    loss = pointmap_regression_loss(pts, pts, valid, pred_conf=None)
+    assert float(loss) < 1e-6
+    # with confidence 1 everywhere, log term vanishes
+    loss_c = pointmap_regression_loss(pts, pts, valid, pred_conf=jnp.ones((2, 8, 8)))
+    assert float(loss_c) < 1e-5

@@ -120,3 +120,74 @@ class DiffusionTrainer:
         if self._step_fn is None:
             self.make_step(batch, batch["latents"].shape[1])
         return self._step_fn(state, batch, rng)
+
+
+class PointmapTrainer:
+    """Sharded train step for the pointmap family (Spann3R/Cut3R-class).
+
+    Loss = confidence-weighted 3D regression on world pointmaps
+    (models/pointmap/losses.py) + optional 7-DoF pose loss for networks with
+    a pose head.  Batch layout [B, T, H, W, ...]: B shards on dp, frames
+    stay whole per clip (the recurrent scan is sequential in T).
+    """
+
+    def __init__(self, network, mesh: Mesh, learning_rate: float = 1e-4,
+                 weight_decay: float = 5e-2, conf_alpha: float = 0.2,
+                 pose_weight: float = 1.0):
+        self.network = network
+        self.mesh = mesh
+        self.optimizer = optax.adamw(learning_rate, weight_decay=weight_decay)
+        self.conf_alpha = conf_alpha
+        self.pose_weight = pose_weight
+        self._step_fn = None
+
+    def init_state(self, params) -> TrainState:
+        params = shard_params(params, self.mesh)
+        return TrainState(params, self.optimizer.init(params), jnp.zeros((), jnp.int32))
+
+    def _loss(self, params, batch):
+        from unigeo_tpu.models.pointmap.losses import (
+            pointmap_regression_loss,
+            pose_loss,
+        )
+
+        frames = batch["frames"]  # [B, T, H, W, 3] in 0..1
+        gt_pts = batch["gt_world_pts"]  # [B, T, H, W, 3]
+        valid = batch["mask"]  # [B, T, H, W]
+
+        def per_clip(f):
+            out = self.network.apply(params, f)
+            if isinstance(out, dict):
+                return out["world_pts"], out["world_conf"], out.get("pose_enc")
+            pts, conf = out
+            return pts, conf, None
+
+        pts, conf, pose_enc = jax.vmap(per_clip)(frames)
+        loss = pointmap_regression_loss(pts, gt_pts, valid, conf, self.conf_alpha)
+        if pose_enc is not None and "gt_poses" in batch:
+            loss = loss + self.pose_weight * pose_loss(pose_enc, batch["gt_poses"])
+        return loss
+
+    def make_step(self, example_batch):
+        mesh = self.mesh
+        batch_sharding = jax.tree.map(
+            lambda x: NamedSharding(mesh, P("dp")), example_batch
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch):
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+            loss, grads = jax.value_and_grad(self._loss)(state.params, batch)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        self._step_fn = step_fn
+        return step_fn
+
+    def train_step(self, state, batch):
+        if self._step_fn is None:
+            self.make_step(batch)
+        return self._step_fn(state, batch)
