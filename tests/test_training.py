@@ -37,11 +37,11 @@ def test_diffusion_train_step_decreases_loss():
             "context": jnp.zeros((b, t, 1, ctx_dim), jnp.float32),
         }
         losses = []
-        for i in range(5):
+        for i in range(3):
             state, loss = trainer.train_step(state, batch, jax.random.PRNGKey(i))
             losses.append(float(loss))
     assert all(np.isfinite(losses))
-    assert int(state.step) == 5
+    assert int(state.step) == 3
     # same noise schedule per step varies; check the trend over repeats of
     # the same rng key: one extra step with key 0 must beat the first
     state2, loss_again = trainer.train_step(state, batch, jax.random.PRNGKey(0))
@@ -67,7 +67,7 @@ def test_pointmap_train_step_decreases_loss():
         trainer = PointmapTrainer(net, mesh, learning_rate=3e-4)
         state = trainer.init_state(params)
         losses = []
-        for _ in range(6):
+        for _ in range(4):
             state, loss = trainer.train_step(state, batch)
             losses.append(float(loss))
     assert all(np.isfinite(losses))
