@@ -85,3 +85,24 @@ def test_pointmap_loss_perfect_prediction_zero():
     # with confidence 1 everywhere, log term vanishes
     loss_c = pointmap_regression_loss(pts, pts, valid, pred_conf=jnp.ones((2, 8, 8)))
     assert float(loss_c) < 1e-5
+
+
+def test_context_parallel_denoise_matches_single_device():
+    """Frame-axis (sp) sharded denoise == unsharded denoise."""
+    import jax
+    from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
+    from unigeo_tpu.parallel.context import denoise_context_parallel
+
+    pipe = tiny_pipeline(height=64, width=64, num_frames=8)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(size=(8, 64, 64, 3)), jnp.float32)
+    noise = jnp.asarray(rng.normal(size=(8, 8, 8, 4)), jnp.float32)
+
+    cond, ctx = pipe._encode_stage(pipe.params, frames)
+    ref = np.asarray(pipe._denoise_stage(pipe.params, cond, ctx, noise, 2))
+
+    mesh = make_mesh(8, shape=(1, 8, 1))
+    out = np.asarray(
+        denoise_context_parallel(pipe, pipe.params, cond, ctx, noise, 2, mesh)
+    )
+    assert np.allclose(out, ref, atol=2e-4), np.abs(out - ref).max()
