@@ -74,6 +74,7 @@ class Attention(nn.Module):
     head_dim: Optional[int] = None
     context_dim: Optional[int] = None
     out_bias: bool = True
+    qkv_bias: bool = False  # diffusers UNet: False; CLIP towers: True
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -82,9 +83,9 @@ class Attention(nn.Module):
         inner = head_dim * self.num_heads
         ctx = x if context is None else context
 
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        q = nn.Dense(inner, use_bias=self.qkv_bias, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, name="to_v")(ctx)
 
         b, s, _ = q.shape
         sk = k.shape[1]

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from unigeo_tpu.models.layers import Attention
@@ -24,26 +25,34 @@ CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
 
 class MLP(nn.Module):
     mult: int = 4
+    act: str = "gelu"  # CLIP towers use quick_gelu: x * sigmoid(1.702 x)
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         h = nn.Dense(c * self.mult, name="fc1")(x)
-        h = nn.gelu(h)
+        if self.act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h)
         return nn.Dense(c, name="fc2")(h)
 
 
 class ViTBlock(nn.Module):
     num_heads: int
+    qkv_bias: bool = False
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, context: Optional[jnp.ndarray] = None):
-        x = x + Attention(self.num_heads, name="attn")(nn.LayerNorm(name="norm1")(x))
+        x = x + Attention(self.num_heads, qkv_bias=self.qkv_bias, name="attn")(
+            nn.LayerNorm(name="norm1")(x)
+        )
         if context is not None:
-            x = x + Attention(self.num_heads, name="cross_attn")(
-                nn.LayerNorm(name="norm_cross")(x), context
-            )
-        x = x + MLP(name="mlp")(nn.LayerNorm(name="norm2")(x))
+            x = x + Attention(
+                self.num_heads, qkv_bias=self.qkv_bias, name="cross_attn"
+            )(nn.LayerNorm(name="norm_cross")(x), context)
+        x = x + MLP(act=self.act, name="mlp")(nn.LayerNorm(name="norm2")(x))
         return x
 
 
@@ -52,10 +61,12 @@ class _BlockStep(nn.Module):
 
     num_heads: int
     with_cross: bool = False
+    qkv_bias: bool = False
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, context):
-        x = ViTBlock(self.num_heads, name="block")(
+        x = ViTBlock(self.num_heads, self.qkv_bias, self.act, name="block")(
             x, context if self.with_cross else None
         )
         return x, None
@@ -72,6 +83,8 @@ class ScannedViTBlocks(nn.Module):
     depth: int
     num_heads: int
     with_cross: bool = False
+    qkv_bias: bool = False
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, context: Optional[jnp.ndarray] = None):
@@ -82,7 +95,10 @@ class ScannedViTBlocks(nn.Module):
             length=self.depth,
             in_axes=nn.broadcast,
         )
-        x, _ = Scan(self.num_heads, self.with_cross, name="layers")(x, context)
+        x, _ = Scan(
+            self.num_heads, self.with_cross, self.qkv_bias, self.act,
+            name="layers",
+        )(x, context)
         return x
 
 
@@ -129,6 +145,8 @@ class VisionTransformer(nn.Module):
     use_class_token: bool = False
     learned_pos_embed: bool = False
     max_grid: int = 64
+    qkv_bias: bool = False
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, images):
@@ -156,7 +174,10 @@ class VisionTransformer(nn.Module):
             tokens = jnp.concatenate([cls_tok, tokens], axis=1)
 
         tokens = nn.LayerNorm(name="pre_norm")(tokens)
-        tokens = ScannedViTBlocks(self.depth, self.num_heads, name="blocks")(tokens)
+        tokens = ScannedViTBlocks(
+            self.depth, self.num_heads, qkv_bias=self.qkv_bias, act=self.act,
+            name="blocks",
+        )(tokens)
         tokens = nn.LayerNorm(name="post_norm")(tokens)
         return tokens, (gh, gw)
 
@@ -196,6 +217,8 @@ class ClipImageEmbedder(nn.Module):
             use_class_token=True,
             learned_pos_embed=True,
             max_grid=self.image_size // self.patch_size,
+            qkv_bias=True,
+            act="quick_gelu",
             name="vision_model",
         )(x)
         pooled = tokens[:, 0]

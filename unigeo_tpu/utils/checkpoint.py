@@ -85,6 +85,8 @@ def load_params(path: str) -> Any:
 def convert_tensor(name: str, value: np.ndarray) -> np.ndarray:
     """Transpose a torch tensor into the flax layout by rank + role."""
     if name.endswith(".weight"):
+        if value.ndim == 5:  # Conv3d (temporal (k,1,1) convs)
+            return np.transpose(value, (2, 3, 4, 1, 0))
         if value.ndim == 4:  # Conv2d
             return np.transpose(value, (2, 3, 1, 0))
         if value.ndim == 3:  # Conv1d (temporal)
@@ -131,19 +133,29 @@ def graft_flat_params(flax_params: Any, flat: Dict[tuple, np.ndarray], strict: b
             n += 1
         return n
 
+    def shapes_compatible(a_shape, b_shape):
+        """Equal, or equal after dropping singleton dims (e.g. a torch 1×1×1
+        Conv3d shortcut loading into an nn.Dense kernel)."""
+        if a_shape == b_shape:
+            return True
+        return (
+            int(np.prod(a_shape)) == int(np.prod(b_shape))
+            and tuple(d for d in a_shape if d != 1) == tuple(d for d in b_shape if d != 1)
+        )
+
     def visit(path, leaf):
         nonlocal matched
         names = tuple(str(getattr(k, "key", k)) for k in path)
         best, best_score = None, 0
         for tk, arr in flat.items():
-            if leaf.shape != arr.shape:
+            if not shapes_compatible(tuple(leaf.shape), tuple(arr.shape)):
                 continue
             score = common_suffix_len(names, tk)
             if score > best_score:
                 best, best_score = arr, score
         if best is not None and best_score >= 1:
             matched += 1
-            return np.asarray(best, leaf.dtype)
+            return np.asarray(best, leaf.dtype).reshape(leaf.shape)
         missed.append(names)
         return leaf
 
