@@ -163,3 +163,38 @@ def test_pose_codec_roundtrip(rng):
     assert enc.shape == (5, 7)
     back = np.asarray(pose_encoding_to_camera(enc))
     assert np.allclose(back, poses, atol=1e-4)
+
+
+def test_sintel_cam_roundtrip(tmp_path):
+    from unigeo_tpu.data.trajectories import read_sintel_cam, read_sintel_trajectory
+
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    E = np.hstack([np.eye(3), [[0.1], [0.2], [0.3]]])
+    for i in range(2):
+        with open(tmp_path / f"frame_{i:04d}.cam", "wb") as f:
+            f.write(np.float32(202021.25).tobytes())
+            f.write(K.astype(np.float64).tobytes())
+            f.write(E.astype(np.float64).tobytes())
+    K2, E2 = read_sintel_cam(str(tmp_path / "frame_0000.cam"))
+    assert np.allclose(K2, K)
+    assert np.allclose(E2, E)
+    poses, intr = read_sintel_trajectory(str(tmp_path))
+    assert poses.shape == (2, 4, 4)
+    assert np.allclose(poses[0][:3, 3], -E[:3, :3].T @ E[:, 3], atol=1e-6)
+
+
+def test_depth_eval_disp_input_and_lad2(rng):
+    """disp_input aligns in disparity space; lad2 (Adam-L1) converges."""
+    from unigeo_tpu.metrics.depth import depth_evaluation
+
+    gt = rng.uniform(1.0, 8.0, size=(2, 24, 32)).astype(np.float32)
+    # prediction given as disparity, scaled and shifted
+    disp = 1.0 / (gt + 1e-8)
+    pred_disp = 1.7 * disp + 0.05
+    res, *_ = depth_evaluation(pred_disp, gt, disp_input=True, alignment="lstsq")
+    assert res["Abs Rel"] < 1e-3
+
+    pred = gt * 0.5 - 0.2
+    res2, *_ = depth_evaluation(pred, gt, alignment="lad2", max_iters=200, lr=1e-2)
+    assert res2["Abs Rel"] < 0.5
+    assert np.isfinite(res2["RMSE"])

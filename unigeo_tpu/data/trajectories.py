@@ -59,6 +59,38 @@ def write_tum_trajectory(path: str, poses: np.ndarray, timestamps=None) -> None:
             )
 
 
+def read_sintel_cam(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Sintel .cam binary: K [3,3] and w2c extrinsic [3,4] per file.
+
+    (reference: metrics/evo_utils.py handles sintel-format trajectories;
+    the MPI-Sintel camdata files store a magic float, then K and E row-major
+    as float64.)
+    """
+    TAG = 202021.25
+    with open(path, "rb") as f:
+        tag = np.frombuffer(f.read(4), np.float32)[0]
+        assert abs(tag - TAG) < 1e-3, f"bad sintel cam file tag {tag}"
+        M = np.frombuffer(f.read(8 * 9), np.float64).reshape(3, 3)
+        N = np.frombuffer(f.read(8 * 12), np.float64).reshape(3, 4)
+    return M.astype(np.float32), N.astype(np.float32)
+
+
+def read_sintel_trajectory(cam_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Directory of frame_XXXX.cam files → (c2w poses [N,4,4], K [N,3,3])."""
+    import glob as _glob
+    import os.path as _osp
+
+    files = sorted(_glob.glob(_osp.join(cam_dir, "*.cam")))
+    poses, intrinsics = [], []
+    for fp in files:
+        K, E = read_sintel_cam(fp)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3] = E
+        poses.append(np.linalg.inv(w2c))
+        intrinsics.append(K)
+    return np.stack(poses), np.stack(intrinsics)
+
+
 def read_matrix_trajectory(path: str, rows_per_matrix: int = 1) -> np.ndarray:
     """Trajectory stored as flattened 4x4 row-major matrices.
 
