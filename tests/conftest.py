@@ -21,9 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: metrics kernels compile once per machine,
-# not once per pytest invocation.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pytest_cache")
+# Persistent compilation cache: kernels compile once, reruns are fast.
+# Repo-local so it survives /tmp cleanup between sessions (gitignored).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
@@ -34,3 +35,12 @@ import pytest  # noqa: E402
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def shared_tiny_pipeline():
+    """One tiny diffusion pipeline shared by every adapter test (params are
+    shape-independent, so one init serves all clip lengths/sizes)."""
+    from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
+
+    return tiny_pipeline(height=64, width=64, num_frames=2)

@@ -122,27 +122,17 @@ def test_pipeline_windowed_stitching():
     assert np.isfinite(out).all()
 
 
-def test_depthcrafter_adapter_contract():
+def test_depthcrafter_adapter_contract(shared_tiny_pipeline):
     """Full adapter on a synthetic clip: output keys, shapes, normal units."""
     from unigeo_tpu.data.synthetic import SyntheticBoxDataset
     from unigeo_tpu.models.depthcrafter.model import DepthCrafter
-    from unigeo_tpu.models.depthcrafter.unet import tiny_unet_config
-    from unigeo_tpu.models.depthcrafter.vae import tiny_vae_config
-    from unigeo_tpu.models.vit import tiny_clip_config
 
     ds = SyntheticBoxDataset(
         clip_length=3, clip_overlap=0, num_scenes=1, frames_per_scene=3,
         render_size=(64, 64),
     )
     data = ds[0]
-    unet_cfg = tiny_unet_config()
-    model = DepthCrafter(
-        unet_config=unet_cfg,
-        vae_config=tiny_vae_config(),
-        clip_config=dict(tiny_clip_config(), projection_dim=unet_cfg["cross_attention_dim"]),
-        num_inference_steps=2,
-        init_height=64, init_width=64, init_frames=3,
-    )
+    model = DepthCrafter(num_inference_steps=2, pipeline=shared_tiny_pipeline)
     out = model.forward(data)
     assert out["pred_depths"].shape == (3, 64, 64)
     assert out["pred_normals"].shape == (3, 64, 64, 3)

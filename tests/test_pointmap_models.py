@@ -78,45 +78,21 @@ def test_cut3r_through_eval_pipeline(tmp_path, clip):
         assert np.isfinite(metric[name])
 
 
-def test_stablenormal_contract(clip):
+def test_stablenormal_contract(clip, shared_tiny_pipeline):
     from unigeo_tpu.models.stablenormal import StableNormal
-    from unigeo_tpu.models.depthcrafter.unet import tiny_unet_config
-    from unigeo_tpu.models.depthcrafter.vae import tiny_vae_config
-    from unigeo_tpu.models.vit import tiny_clip_config
 
-    unet_cfg = tiny_unet_config()
-    model = StableNormal(
-        unet_config=unet_cfg,
-        vae_config=tiny_vae_config(),
-        clip_config=dict(
-            tiny_clip_config(), projection_dim=unet_cfg["cross_attention_dim"]
-        ),
-        num_inference_steps=2,
-        init_height=64, init_width=64,
-    )
+    model = StableNormal(num_inference_steps=2, pipeline=shared_tiny_pipeline)
     out = model.forward(clip)
     assert out["pred_normals"].shape == (2, 64, 64, 3)
     assert np.allclose(np.linalg.norm(out["pred_normals"], axis=-1), 1.0, atol=1e-3)
     assert (out["pred_depths"] == 0).all()
 
 
-def test_unigeo_cam_contract(clip):
+def test_unigeo_cam_contract(clip, shared_tiny_pipeline):
     """The UniGeoCam slot emits all four prediction families."""
     from unigeo_tpu.models.unigeo_cam import UniGeoCam
-    from unigeo_tpu.models.depthcrafter.unet import tiny_unet_config
-    from unigeo_tpu.models.depthcrafter.vae import tiny_vae_config
-    from unigeo_tpu.models.vit import tiny_clip_config
 
-    unet_cfg = tiny_unet_config()
-    model = UniGeoCam(
-        unet_config=unet_cfg,
-        vae_config=tiny_vae_config(),
-        clip_config=dict(
-            tiny_clip_config(), projection_dim=unet_cfg["cross_attention_dim"]
-        ),
-        num_inference_steps=2,
-        init_height=64, init_width=64, init_frames=2,
-    )
+    model = UniGeoCam(num_inference_steps=2, pipeline=shared_tiny_pipeline)
     out = model.forward(clip)
     for key in ("pred_world_pts", "pred_depths", "pred_normals", "pred_poses"):
         assert key in out and np.isfinite(out[key]).all(), key

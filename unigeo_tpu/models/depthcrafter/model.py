@@ -66,9 +66,10 @@ class DepthCrafter:
         model_dir: Optional[str] = None,
         unet_path: Optional[str] = None,
         pre_train_path: Optional[str] = None,
+        pipeline=None,
         **_: Dict,
     ):
-        self.pipeline = DepthCrafterPipeline(
+        self.pipeline = pipeline or DepthCrafterPipeline(
             unet_config=unet_config, vae_config=vae_config, clip_config=clip_config
         )
         self.num_inference_steps = num_inference_steps
@@ -79,7 +80,7 @@ class DepthCrafter:
             from unigeo_tpu.utils.checkpoint import load_params
 
             self.pipeline.params = load_params(checkpoint_path)
-        else:
+        elif self.pipeline.params is None:
             self.pipeline.init_params(
                 jax.random.PRNGKey(seed), init_height, init_width, init_frames
             )

@@ -37,9 +37,10 @@ class StableNormal:
         init_width: int = 512,
         # reference-config compat (accepted, unused)
         model_dir: Optional[str] = None,
+        pipeline=None,
         **_: Dict,
     ):
-        self.pipeline = DepthCrafterPipeline(
+        self.pipeline = pipeline or DepthCrafterPipeline(
             unet_config=unet_config, vae_config=vae_config, clip_config=clip_config
         )
         self.num_inference_steps = num_inference_steps

@@ -47,9 +47,10 @@ class UniGeoCam:
         init_height: int = 384,
         init_width: int = 512,
         init_frames: int = 25,
+        pipeline=None,
         **_: Dict,
     ):
-        self.pipeline = DepthCrafterPipeline(
+        self.pipeline = pipeline or DepthCrafterPipeline(
             unet_config=unet_config, vae_config=vae_config, clip_config=clip_config
         )
         self.num_inference_steps = num_inference_steps
@@ -58,7 +59,7 @@ class UniGeoCam:
             from unigeo_tpu.utils.checkpoint import load_params
 
             self.pipeline.params = load_params(checkpoint_path)
-        else:
+        elif self.pipeline.params is None:
             self.pipeline.init_params(
                 jax.random.PRNGKey(seed), init_height, init_width, init_frames
             )
