@@ -31,6 +31,32 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 A100_REF_FPS = 2.0  # estimated reference throughput (see module docstring)
 
+# bf16 peak TFLOP/s per chip by device kind (public spec sheets)
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,  # v5p
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_TFLOPS.items():
+        if kind.startswith(k):
+            return v * 1e12
+    return 197.0e12  # conservative default (v5e)
+
+
+def _stage_flops(lowered_compiled) -> float:
+    try:
+        cost = lowered_compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def _random_params_like(shapes, seed=0, scale=0.02, dtype=jnp.bfloat16):
     """Random param tree in ONE cheap-to-compile program: a single flat
@@ -127,6 +153,32 @@ def main():
 
     best = max(min(times) - rtt, 1e-9)
     fps = t / best
+
+    # MFU: total program FLOPs (XLA cost analysis over the three stages)
+    # against the chip's bf16 peak.
+    flops = 0.0
+    try:
+        cls = type(pipe)
+        flops += _stage_flops(
+            cls._encode_stage.lower(pipe, pipe.params, frames, None).compile()
+        )
+        lat_shape = jax.ShapeDtypeStruct((t, h // 8, w // 8, 4), jnp.bfloat16)
+        ctx_shape = jax.ShapeDtypeStruct(
+            (t, 1, pipe.unet.cross_attention_dim), jnp.bfloat16
+        )
+        noise_shape = jax.ShapeDtypeStruct((t, h // 8, w // 8, 4), jnp.float32)
+        flops += _stage_flops(
+            cls._denoise_stage.lower(
+                pipe, pipe.params, lat_shape, ctx_shape, noise_shape, steps
+            ).compile()
+        )
+        flops += _stage_flops(
+            cls._decode_stage.lower(pipe, pipe.params, lat_shape).compile()
+        )
+    except Exception:
+        flops = 0.0
+    mfu = round(flops / best / _peak_flops(), 4) if flops > 0 else None
+
     print(
         json.dumps(
             {
@@ -135,6 +187,9 @@ def main():
                 "value": round(fps, 4),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / A100_REF_FPS, 4),
+                "mfu": mfu,
+                "baseline_measured": False,  # A100 fps is a documented
+                # estimate; the reference repo publishes no numbers
             }
         )
     )

@@ -23,6 +23,12 @@ def main():
     parser.add_argument("--debug-nans", action="store_true")
     parser.add_argument("--num-workers", type=int, default=0,
                         help="prefetch clips with this many threads")
+    parser.add_argument("--data-parallel", dest="data_parallel",
+                        action="store_true", default=None,
+                        help="batch clips over the device mesh data axis")
+    parser.add_argument("--no-data-parallel", dest="data_parallel",
+                        action="store_false",
+                        help="force the serial clip loop")
     args = parser.parse_args()
 
     cfg = EvalConfig.from_yaml(args.config)
@@ -34,6 +40,7 @@ def main():
         strict=args.strict,
         debug_nans=args.debug_nans,
         num_workers=args.num_workers,
+        data_parallel=args.data_parallel,
     )
     print("Averages:")
     for name, value in manager.calculate_averages().items():

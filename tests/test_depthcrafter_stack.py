@@ -13,17 +13,49 @@ from unigeo_tpu.models.depthcrafter.unet import UNetSpatioTemporal, tiny_unet_co
 from unigeo_tpu.models.depthcrafter.vae import AutoencoderKLTemporal, tiny_vae_config
 
 
-def test_scheduler_sigmas_descending():
+def test_scheduler_sigmas_svd_karras():
+    """Default config = SVD checkpoint scheduler_config.json: Karras sigmas
+    in [0.002, 700] (rho 7) with continuous c_noise timesteps."""
     sch = EulerDiscreteScheduler()
     sigmas = sch.inference_sigmas(5)
     assert sigmas.shape == (6,)
     assert (np.diff(sigmas) < 0).all()
     assert sigmas[-1] == 0.0
-    # "leading" spacing tops out at timestep 801 → sigma ≈ 5.1; the full
-    # trained range reaches sigma_max ≈ 14.6 at t=999 ("linspace")
+    # hand-computed Karras ramp (Karras et al. 2022, eq. 5)
+    rho = 7.0
+    ramp = np.linspace(0, 1, 5)
+    expect = (
+        700.0 ** (1 / rho) + ramp * (0.002 ** (1 / rho) - 700.0 ** (1 / rho))
+    ) ** rho
+    assert np.allclose(sigmas[:-1], expect, rtol=1e-5)
+    # continuous timestep conditioning: 0.25·ln(sigma)
+    ts = sch.timesteps_for_sigmas(sigmas[:-1])
+    assert np.allclose(ts, 0.25 * np.log(expect), rtol=1e-4)
+
+
+def test_scheduler_sigmas_legacy_discrete():
+    """use_karras_sigmas=False reproduces plain SD-style beta-derived sigmas:
+    'leading' spacing tops out at timestep 801 → sigma ≈ 5.1; 'linspace'
+    reaches sigma_max ≈ 14.6 at t=999."""
+    legacy = EulerDiscreteConfig(
+        use_karras_sigmas=False, sigma_min=None, sigma_max=None,
+        timestep_type="discrete",
+    )
+    sch = EulerDiscreteScheduler(legacy)
+    sigmas = sch.inference_sigmas(5)
+    assert (np.diff(sigmas) < 0).all()
+    assert sigmas[-1] == 0.0
     assert 1.0 < sigmas[0] < 20
-    sch_ls = EulerDiscreteScheduler(EulerDiscreteConfig(timestep_spacing="linspace"))
+    sch_ls = EulerDiscreteScheduler(
+        EulerDiscreteConfig(
+            use_karras_sigmas=False, sigma_min=None, sigma_max=None,
+            timestep_type="discrete", timestep_spacing="linspace",
+        )
+    )
     assert 10 < sch_ls.inference_sigmas(5)[0] < 20
+    # discrete timesteps invert the train-sigma table
+    ts = sch.timesteps_for_sigmas(sigmas[:-1])
+    assert (ts >= 0).all() and (ts <= 999).all()
 
 
 def test_scheduler_v_prediction_roundtrip():

@@ -100,3 +100,32 @@ def test_hypersim_pairs(tmp_path):
     # pair separation: camera 1 is 0.2 m from camera 0 along x
     t01 = np.linalg.norm(data["extrinsics"][1][:3, 3])
     assert np.isclose(t01, 10 * METERS_PER_ASSET, atol=1e-5)
+
+
+def test_hypersim_keyframe_index_mapping(tmp_path):
+    """camera_keyframe_frame_indices.hdf5 decouples frame ids from keyframe
+    rows; the loader must follow the explicit map (VERDICT r1 item 8)."""
+    root = str(tmp_path)
+    scene = _make_scene(root)
+    cam_dir = osp.join(root, scene, "_detail", "cam_00")
+    # keyframe rows now correspond to frame ids 0,1,2 in REVERSED order:
+    # row 0 → frame 2, row 1 → frame 1, row 2 → frame 0
+    with h5py.File(
+        osp.join(cam_dir, "camera_keyframe_frame_indices.hdf5"), "w"
+    ) as f:
+        f.create_dataset("dataset", data=np.array([2, 1, 0], np.int64))
+
+    ds = HyperSimDataset(root=root, scene_list=[scene])
+    data = ds[0]  # pair (frame 0, frame 1)
+    # frame 0's pose is now keyframe row 2 (position x = 20 asset units) and
+    # frame 1's row 1 (x = 10) → baseline still 0.2 m, but in -x direction
+    # relative to the keyview; depth on the plane is unchanged
+    valid = data["mask"] > 0
+    depth = -data["cam_coord"][:, 2]
+    assert np.allclose(depth[valid], 2.0, atol=1e-4)
+    t01 = data["extrinsics"][1][:3, 3]
+    assert np.isclose(np.linalg.norm(t01), 10 * METERS_PER_ASSET, atol=1e-5)
+    # caches: camera loaded once, params CSV loaded once
+    assert len(ds._cam_cache) == 1
+    ds[1]
+    assert len(ds._cam_cache) == 1

@@ -88,8 +88,18 @@ def test_pointmap_loss_perfect_prediction_zero():
 
 
 def test_context_parallel_denoise_matches_single_device():
-    """Frame-axis (sp) sharded denoise == unsharded denoise."""
-    import jax
+    """Frame-axis (sp) sharded denoise == unsharded denoise.
+
+    Tolerance rationale (measured on two hosts; VERDICT r1 item 3): sharded
+    vs unsharded divergence is pure f32 reduction-order noise from XLA's
+    partitioned matmuls/collectives, amplified by the Euler update
+    ``x += (x - denoised)/sigma · (sigma_next - sigma)`` and by the
+    sigma_max=700 init scale.  Measured RELATIVE deviations: 2.0e-4 (1
+    step), 4.8e-4 (2), 5.5e-4 (5).  A genuine sharding bug (wrong
+    collective, halo error) produces O(1) relative errors, so bounds at
+    ~6-10x the measured noise still catch real defects while passing on
+    arbitrary hosts.
+    """
     from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
     from unigeo_tpu.parallel.context import denoise_context_parallel
 
@@ -99,13 +109,17 @@ def test_context_parallel_denoise_matches_single_device():
     noise = jnp.asarray(rng.normal(size=(8, 8, 8, 4)), jnp.float32)
 
     cond, ctx = pipe._encode_stage(pipe.params, frames)
-    ref = np.asarray(pipe._denoise_stage(pipe.params, cond, ctx, noise, 2))
-
     mesh = make_mesh(8, shape=(1, 8, 1))
-    out = np.asarray(
-        denoise_context_parallel(pipe, pipe.params, cond, ctx, noise, 2, mesh)
-    )
-    assert np.allclose(out, ref, atol=2e-4), np.abs(out - ref).max()
+
+    for steps, bound in ((1, 2e-3), (2, 3e-3)):
+        ref = np.asarray(
+            pipe._denoise_stage(pipe.params, cond, ctx, noise, steps)
+        )
+        out = np.asarray(
+            denoise_context_parallel(pipe, pipe.params, cond, ctx, noise, steps, mesh)
+        )
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < bound, (steps, rel)
 
 
 def test_sharded_clip_executor():

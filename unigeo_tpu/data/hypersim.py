@@ -96,6 +96,10 @@ class HyperSimDataset:
         for scene in scenes:
             for cam in self._cameras(scene):
                 self._index_camera(scene, cam)
+        # per-scene/camera caches: the reference re-reads CSVs and reopens
+        # camera HDF5s per item; here each is loaded once per dataset
+        self._cam_cache: Dict = {}
+        self._params_df = None
 
     @staticmethod
     def _load_scores(path):
@@ -140,6 +144,16 @@ class HyperSimDataset:
     # ------------------------------------------------------------------
 
     def _load_camera(self, scene: str, cam: str):
+        """(c2w [N,4,4] OpenGL, meters scale, frame-id → keyframe-row map).
+
+        Cached per (scene, cam).  Hypersim cameras are KEYFRAME tables:
+        ``camera_keyframe_frame_indices.hdf5`` names the frame id of each
+        row — frame id == row index is NOT guaranteed, so the explicit map
+        is built when that file exists (identity fallback otherwise).
+        """
+        key = (scene, cam)
+        if key in self._cam_cache:
+            return self._cam_cache[key]
         import h5py
 
         detail = osp.join(self.root, scene, "_detail")
@@ -150,12 +164,37 @@ class HyperSimDataset:
             osp.join(cam_dir, "camera_keyframe_orientations.hdf5"), "r"
         ) as f:
             orientations = f["dataset"][:]
+        idx_path = osp.join(cam_dir, "camera_keyframe_frame_indices.hdf5")
+        if osp.isfile(idx_path):
+            with h5py.File(idx_path, "r") as f:
+                frame_ids = f["dataset"][:].astype(np.int64)
+            fid_to_row = {int(fid): i for i, fid in enumerate(frame_ids)}
+        else:
+            fid_to_row = {i: i for i in range(len(positions))}
         scale = _read_meters_per_asset_unit(detail)
         n = len(positions)
         c2w = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
         c2w[:, :3, :3] = orientations
         c2w[:, :3, 3] = positions * scale
-        return c2w, scale
+        self._cam_cache[key] = (c2w, scale, fid_to_row)
+        return self._cam_cache[key]
+
+    def _camera_intrinsics(self, scene: str) -> np.ndarray:
+        """K for a scene from metadata_camera_parameters.csv (loaded once)."""
+        if self._params_df is None:
+            import pandas as pd
+
+            self._params_df = pd.read_csv(
+                osp.join(self.root, "metadata_camera_parameters.csv"),
+                index_col="scene_name",
+            )
+        row = self._params_df.loc[scene]
+        width = int(row["settings_output_img_width"])
+        height = int(row["settings_output_img_height"])
+        M_proj = np.array(
+            [[row[f"M_proj_{i}{j}"] for j in range(4)] for i in range(4)]
+        )
+        return _intrinsics_from_proj(M_proj, width, height)
 
     def _frame_paths(self, scene: str, cam: str, fid: int):
         img = osp.join(
@@ -175,21 +214,9 @@ class HyperSimDataset:
 
         rec = self.samples[index]
         scene, cam, fids = rec["scene"], rec["cam"], rec["frames"]
-        c2w_gl, scale = self._load_camera(scene, cam)
+        c2w_gl, scale, fid_to_row = self._load_camera(scene, cam)
         w2c_gl = coords.se3_inverse(c2w_gl)
-
-        # intrinsics from the per-dataset camera-parameters CSV
-        import pandas as pd
-
-        cam_params_csv = osp.join(self.root, "metadata_camera_parameters.csv")
-        df = pd.read_csv(cam_params_csv, index_col="scene_name")
-        row = df.loc[scene]
-        width = int(row["settings_output_img_width"])
-        height = int(row["settings_output_img_height"])
-        M_proj = np.array(
-            [[row[f"M_proj_{i}{j}"] for j in range(4)] for i in range(4)]
-        )
-        K = _intrinsics_from_proj(M_proj, width, height)
+        K = self._camera_intrinsics(scene)
 
         images, cam_normals, cam_coords, world_coords, masks = [], [], [], [], []
         extr = []
@@ -204,7 +231,7 @@ class HyperSimDataset:
                 pos = f["dataset"][:].astype(np.float32) * scale
             pos[np.isinf(pos)] = np.nan
 
-            w2c = w2c_gl[fid]
+            w2c = w2c_gl[fid_to_row[fid]]
             cam_pts = (
                 w2c[:3, :3] @ pos.reshape(-1, 3).T + w2c[:3, 3:4]
             ).T.reshape(pos.shape)

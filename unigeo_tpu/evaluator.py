@@ -88,6 +88,7 @@ def run_evaluation(
     strict: bool = False,
     debug_nans: bool = False,
     num_workers: int = 0,
+    data_parallel: Optional[bool] = None,
 ) -> MetricsManager:
     """The full eval loop: dataset → model → GT → metrics → CSV.
 
@@ -95,6 +96,11 @@ def run_evaluation(
         checking on the executor boundary, SURVEY.md §5 "race detection").
     debug_nans: enable jax.debug_nans for the run.
     num_workers: >0 prefetches clips with a thread pool (data/prefetch.py).
+    data_parallel: batch clips over the device mesh's data axis when the
+        model implements ``forward_batch`` (SURVEY.md §2.7 DP row — the
+        reference's serial clip loop, eval.py:33, leaves N-1 chips idle).
+        None = auto: on when the model supports it and >1 device is visible.
+        Per-sequence CSV rows, ordering, and resume semantics are unchanged.
     """
     if debug_nans:
         import jax
@@ -102,6 +108,22 @@ def run_evaluation(
         jax.config.update("jax_debug_nans", True)
     os.makedirs(save_dir, exist_ok=True)
     save_path = os.path.join(save_dir, "metrics.csv")
+
+    # Multi-host (SURVEY §2.7 comm backend): each process scores a
+    # round-robin shard of the clips (dp over DCN); per-rank CSVs keep crash
+    # resume, rank 0 merges + writes the canonical CSV at the end.
+    # Single-process: n_proc == 1 and every path below is unchanged.
+    try:
+        import jax
+
+        n_proc, proc_id = jax.process_count(), jax.process_index()
+    except Exception:
+        n_proc, proc_id = 1, 0
+    rank_path = (
+        save_path
+        if n_proc == 1
+        else os.path.join(save_dir, f"metrics.rank{proc_id}.csv")
+    )
 
     if dataset is None:
         dataset_cls = get_dataset_cls(cfg.dataset)
@@ -117,30 +139,35 @@ def run_evaluation(
 
     timer = ClipTimer()
     n = len(dataset) if max_clips is None else min(max_clips, len(dataset))
+    indices = [i for i in range(n) if i % n_proc == proc_id]
     if num_workers > 0:
         from unigeo_tpu.data.prefetch import PrefetchLoader
 
-        stream = zip(range(n), PrefetchLoader(
-            dataset, num_workers=num_workers, indices=range(n)
+        stream = zip(indices, PrefetchLoader(
+            dataset, num_workers=num_workers, indices=indices
         ))
     else:
-        stream = ((i, dataset[i]) for i in range(n))
+        stream = ((i, dataset[i]) for i in indices)
 
-    for data_idx, data in stream:
-        seq = f"{data_idx:03d}_{data['scene_name']}"
-        if resume and manager.has_sequence(seq):
-            continue
-        if strict:
-            from unigeo_tpu.data.sample import validate_sample
+    if data_parallel is None:
+        if hasattr(model, "forward_batch"):
+            import jax
 
-            validate_sample(data)
-        if verbose:
-            print(f"processing seq: {seq}")
+            data_parallel = len(jax.devices()) > 1
+        else:
+            data_parallel = False
+    if data_parallel and not hasattr(model, "forward_batch"):
+        raise ValueError(
+            f"data_parallel requested but {type(model).__name__} has no forward_batch"
+        )
+    batch_size = 1
+    if data_parallel:
+        import jax
 
-        with timer.clip(num_frames=len(data["images"])):
-            output = model.forward(data)
+        batch_size = max(1, len(jax.devices()))
+
+    def _record(seq: str, data, output) -> None:
         gt_label = prepare_gt_label(data)
-
         metric = {"seq_name": seq}
         metric.update(evaluate_clip(cfg, output, gt_label))
 
@@ -164,7 +191,7 @@ def run_evaluation(
             save_point_cloud(*clouds[1], os.path.join(pcd_dir, "gt.ply"))
 
         manager.update_metrics(metric)
-        manager.export_to_csv(save_path)
+        manager.export_to_csv(rank_path)
         if verbose:
             shown = {
                 k: round(v, 5)
@@ -173,4 +200,50 @@ def run_evaluation(
             }
             print(f"  {shown}  [{timer.summary()}]")
 
+    pending = []  # [(seq, data)] waiting to fill a dp batch
+
+    def _flush() -> None:
+        if not pending:
+            return
+        nframes = sum(len(d["images"]) for _, d in pending)
+        with timer.clip(num_frames=nframes):
+            outputs = model.forward_batch([d for _, d in pending])
+        for (seq, data), output in zip(pending, outputs):
+            _record(seq, data, output)
+        pending.clear()
+
+    for data_idx, data in stream:
+        seq = f"{data_idx:03d}_{data['scene_name']}"
+        if resume and manager.has_sequence(seq):
+            continue
+        if strict:
+            from unigeo_tpu.data.sample import validate_sample
+
+            validate_sample(data)
+        if verbose:
+            print(f"processing seq: {seq}")
+
+        if batch_size > 1:
+            pending.append((seq, data))
+            if len(pending) >= batch_size:
+                _flush()
+            continue
+
+        with timer.clip(num_frames=len(data["images"])):
+            output = model.forward(data)
+        _record(seq, data, output)
+
+    _flush()
+
+    if n_proc > 1:
+        from unigeo_tpu.parallel.multihost import is_primary, process_allgather_rows
+
+        merged = MetricsManager(cfg.metric_names)
+        for row in sorted(
+            process_allgather_rows(manager.rows()), key=lambda r: r["seq_name"]
+        ):
+            merged.update_metrics(row)
+        if is_primary():
+            merged.export_to_csv(save_path)
+        return merged
     return manager

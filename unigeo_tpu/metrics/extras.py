@@ -126,3 +126,56 @@ def plot_trajectory(
         plt.close(fig)
         return filename
     return fig
+
+
+# ---------------------------------------------------------------------------
+# evo results-txt scraping + directory averaging
+# (reference: metrics/evo_utils.py:376-428)
+# ---------------------------------------------------------------------------
+
+def extract_metrics(file_path: str):
+    """Scrape ATE / RPE-trans / RPE-rot rmse values from an evo-style
+    results txt (reference: evo_utils.py:376-397; missing metrics → 0.0)."""
+    import re
+
+    with open(file_path, "r") as f:
+        content = f.read()
+
+    def rmse_after(header: str) -> float:
+        m = re.search(re.escape(header) + r".*?rmse\s+([0-9.]+)", content, re.DOTALL)
+        return float(m.group(1)) if m else 0.0
+
+    return (
+        rmse_after("APE w.r.t. translation part (m)"),
+        rmse_after("RPE w.r.t. translation part (m)"),
+        rmse_after("RPE w.r.t. rotation angle in degrees (deg)"),
+    )
+
+
+def process_directory(directory: str):
+    """Collect (seq_name, ate, rpe_trans, rpe_rot) from every *_metric.txt
+    under ``directory`` (reference: evo_utils.py:400-412)."""
+    import os
+
+    results = []
+    for root, _, files in os.walk(directory):
+        for name in sorted(files):
+            if name.endswith("_metric.txt"):
+                seq = name.replace("_eval_metric.txt", "")
+                results.append(
+                    (seq,) + extract_metrics(os.path.join(root, name))
+                )
+    return results
+
+
+def calculate_trajectory_averages(results):
+    """Mean ATE / RPE-trans / RPE-rot over scraped per-sequence results
+    (reference: evo_utils.py:415-428; empty → zeros)."""
+    if not results:
+        return 0.0, 0.0, 0.0
+    n = len(results)
+    return (
+        sum(r[1] for r in results) / n,
+        sum(r[2] for r in results) / n,
+        sum(r[3] for r in results) / n,
+    )

@@ -67,3 +67,16 @@ class MetricsManager:
 
     def has_sequence(self, seq_name: str) -> bool:
         return seq_name in self.sequence_names
+
+    def rows(self) -> List[Dict[str, float]]:
+        """Per-sequence rows as JSON-serializable dicts (multi-host gather;
+        NaN metrics omitted so update_metrics round-trips)."""
+        out = []
+        for seq in self.sequence_names:
+            row: Dict[str, float] = {"seq_name": seq}
+            for m in self.metric_names:
+                v = self.metrics_df.at[seq, m]
+                if not pd.isna(v):
+                    row[m] = float(v)
+            out.append(row)
+        return out

@@ -98,9 +98,52 @@ class DepthCrafter:
             overlap=self.overlap,
             seed=self.seed,
         )
+        return self._finalize(decoded, data)
+
+    def _finalize(self, decoded, data: Dict[str, Any]) -> Dict[str, Any]:
         intrinsics = jnp.asarray(np.asarray(data["intrinsics"], np.float32))
         depths, normals = _postprocess(jnp.asarray(decoded), intrinsics)
         return {
             "pred_depths": np.asarray(depths),
             "pred_normals": np.asarray(normals),
         }
+
+    # ------------------------------------------------------------------
+    # Data-parallel path (SURVEY.md §2.7 DP row): a batch of clips becomes
+    # one SPMD program with the batch axis sharded over the mesh's dp axis,
+    # replacing the reference's serial clip loop (eval.py:33).
+    # ------------------------------------------------------------------
+
+    def _get_executor(self):
+        if getattr(self, "_executor", None) is None:
+            from unigeo_tpu.parallel.executor import ShardedClipExecutor
+            from unigeo_tpu.parallel.mesh import make_mesh
+
+            n = len(jax.devices())
+            mesh = make_mesh(n, shape=(n, 1, 1))
+            self._executor = ShardedClipExecutor(
+                self.pipeline, mesh, num_inference_steps=self.num_inference_steps
+            )
+        return self._executor
+
+    def forward_batch(self, datas) -> list:
+        """Score a list of equally-shaped clips in one dp-sharded step.
+
+        Numerics match ``forward``: the serial path draws the SAME noise for
+        every clip (fixed seed, model/depthcrafter.py:79-90 analog), so the
+        batch uses one broadcast noise tensor.
+        """
+        frames = np.stack([self.prepare_input(d) for d in datas])
+        b, t, h, w, _ = frames.shape
+        if self.window_size and self.window_size < t:
+            return [self.forward(d) for d in datas]  # windowed path is serial
+        noise = np.broadcast_to(
+            np.asarray(
+                jax.random.normal(
+                    jax.random.PRNGKey(self.seed), (t, h // 8, w // 8, 4), jnp.float32
+                )
+            ),
+            (b, t, h // 8, w // 8, 4),
+        )
+        decoded = self._get_executor()(frames, seed=self.seed, noise=noise)
+        return [self._finalize(decoded[i], d) for i, d in enumerate(datas)]

@@ -5,14 +5,16 @@ torch pipeline the reference calls (model/depthcrafter.py:79-90) becomes one
 jitted JAX program per window:
 
     frames [T,H,W,3] 0..1
-      → ×2-1 → VAE.encode per frame → conditioning latents [T,h,w,4]
+      → ×2-1 → + noise_aug_strength·N(0,1) → VAE.encode per frame →
+        conditioning latents [T,h,w,4] (UNSCALED — SVD concatenates raw
+        modes; only the denoised-latent space carries the 0.18215 scaling)
       → CLIP-embed per frame → context [T,1,1024]
       → x = noise · sqrt(σ_max²+1)
-      → lax.fori_loop over 5 sigmas:
+      → lax.fori_loop over 5 Karras sigmas (σ ∈ [0.002, 700], rho 7):
             x_in = concat([x/√(σ²+1), cond_latents], ch)
-            v = UNet(x_in, t(σ), context, added_time_ids)
+            v = UNet(x_in, 0.25·ln σ, context, added_time_ids)
             x = euler_step(x, denoised(x, v, σ), σ, σ_next)
-      → VAE.decode(x) → [T,H,W,3] in [-1,1]
+      → VAE.decode(x / 0.18215) → [T,H,W,3] in [-1,1]
 
 Long clips run as overlapping windows whose latents are linearly blended on
 the overlap (the reference pipeline's window/overlap stitching,
@@ -58,6 +60,7 @@ class DepthCrafterPipeline:
         self.clip = ClipImageEmbedder(**(clip_config or {}))
         self.scheduler = EulerDiscreteScheduler(EulerDiscreteConfig())
         self.dtype = dtype
+        self.noise_aug_strength = noise_aug_strength
         self.added_time_ids = np.array(
             [[fps - 1.0, motion_bucket_id, noise_aug_strength]], np.float32
         )
@@ -101,12 +104,20 @@ class DepthCrafterPipeline:
     # compiles ~4x faster than one monolithic program at identical runtime.
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _encode_stage(self, params, frames):
-        """frames [T,H,W,3] 0..1 → (cond_latents [T,h,w,4], context [T,1,C])."""
+    def _encode_stage(self, params, frames, aug_noise=None):
+        """frames [T,H,W,3] 0..1 → (cond_latents [T,h,w,4], context [T,1,C]).
+
+        aug_noise: optional N(0,1) tensor shaped like frames — SVD's
+        conditioning noise augmentation (image += noise_aug_strength·noise,
+        the same strength that enters added_time_ids).  None = no aug.
+        """
         dtype = self.dtype
-        frames_pm1 = (frames * 2.0 - 1.0).astype(dtype)
+        frames_pm1 = frames * 2.0 - 1.0
+        if aug_noise is not None and self.noise_aug_strength > 0:
+            frames_pm1 = frames_pm1 + self.noise_aug_strength * aug_noise
         cond_latents = self.vae.apply(
-            {"params": params["vae"]}, frames_pm1, method=self.vae.encode
+            {"params": params["vae"]}, frames_pm1.astype(dtype),
+            method=self.vae.encode,
         ).astype(dtype)
         context = self.clip.apply(
             {"params": params["clip"]}, frames.astype(dtype)
@@ -151,18 +162,22 @@ class DepthCrafterPipeline:
         )
         return decoded.astype(jnp.float32)
 
-    def run_window_staged(self, params, frames, noise, num_inference_steps: int):
+    def run_window_staged(self, params, frames, noise, num_inference_steps: int,
+                          aug_noise=None):
         """The production path: three jitted stages, device-resident between."""
-        cond_latents, context = self._encode_stage(params, frames)
+        cond_latents, context = self._encode_stage(params, frames, aug_noise)
         x = self._denoise_stage(params, cond_latents, context, noise,
                                 num_inference_steps)
         return self._decode_stage(params, x)
 
     @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
-    def _run_window(self, params, frames, noise, num_inference_steps: int):
+    def _run_window(self, params, frames, noise, num_inference_steps: int,
+                    aug_noise=None):
         """Fully-fused single-program variant (slowest compile, used by the
         driver's single-chip compile check)."""
-        cond_latents, context = self._encode_stage.__wrapped__(self, params, frames)
+        cond_latents, context = self._encode_stage.__wrapped__(
+            self, params, frames, aug_noise
+        )
         x = self._denoise_stage.__wrapped__(
             self, params, cond_latents, context, noise, num_inference_steps
         )
@@ -188,10 +203,18 @@ class DepthCrafterPipeline:
         window_size = window_size or t
         rng = jax.random.PRNGKey(seed)
 
+        aug_rng = jax.random.fold_in(rng, 0xA06)
+
         if window_size >= t:
             noise = jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)
+            aug = (
+                jax.random.normal(aug_rng, (t, h, w, 3), jnp.float32)
+                if self.noise_aug_strength > 0
+                else None
+            )
             out = self.run_window_staged(
-                self.params, jnp.asarray(frames), noise, num_inference_steps
+                self.params, jnp.asarray(frames), noise, num_inference_steps,
+                aug_noise=aug,
             )
             return np.asarray((out + 1.0) / 2.0)
 
@@ -208,8 +231,18 @@ class DepthCrafterPipeline:
                 (window_size, h // 8, w // 8, 4),
                 jnp.float32,
             )
+            aug = (
+                jax.random.normal(
+                    jax.random.fold_in(aug_rng, wi), (window_size, h, w, 3),
+                    jnp.float32,
+                )
+                if self.noise_aug_strength > 0
+                else None
+            )
             out = np.asarray(
-                self.run_window_staged(self.params, chunk, noise, num_inference_steps)
+                self.run_window_staged(
+                    self.params, chunk, noise, num_inference_steps, aug_noise=aug
+                )
             )
             ramp = np.ones((window_size, 1, 1, 1), np.float32)
             if wi > 0 and overlap > 0:

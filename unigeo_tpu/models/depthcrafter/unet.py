@@ -101,12 +101,12 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         x = x + Attention(self.num_heads, self.head_dim, name="attn1")(
-            nn.LayerNorm(name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         )
         x = x + Attention(
             self.num_heads, self.head_dim, context_dim=self.context_dim, name="attn2"
-        )(nn.LayerNorm(name="norm2")(x), context)
-        x = x + FeedForward(name="ff")(nn.LayerNorm(name="norm3")(x))
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+        x = x + FeedForward(name="ff")(nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
         return x
 
 
@@ -118,15 +118,15 @@ class TemporalTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         # feed-forward-in with residual, then temporal self-attn, cross, ff
-        h = nn.LayerNorm(name="norm_in")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_in")(x)
         x = x + FeedForward(name="ff_in")(h)
         x = x + Attention(self.num_heads, self.head_dim, name="attn1")(
-            nn.LayerNorm(name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         )
         x = x + Attention(
             self.num_heads, self.head_dim, context_dim=self.context_dim, name="attn2"
-        )(nn.LayerNorm(name="norm2")(x), context)
-        x = x + FeedForward(name="ff")(nn.LayerNorm(name="norm3")(x))
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+        x = x + FeedForward(name="ff")(nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
         return x
 
 
@@ -153,7 +153,10 @@ class TransformerSpatioTemporal(nn.Module):
         ht = h.reshape(b, num_frames, hh * ww, c).transpose(0, 2, 1, 3)
         ht = ht.reshape(b * hh * ww, num_frames, c)
         frame_emb = sinusoidal_embedding(jnp.arange(num_frames), c)
-        frame_emb = TimestepEmbedding(c, name="time_pos_embed")(frame_emb)
+        # diffusers TimestepEmbedding(C, 4C, out_dim=C)
+        frame_emb = TimestepEmbedding(c, hidden_dim=4 * c, name="time_pos_embed")(
+            frame_emb
+        )
         ht = ht + frame_emb[None]
         # temporal cross-attention context: the keyview-frame embedding,
         # shared across spatial positions

@@ -1,14 +1,21 @@
 """VAE with temporal decoder (the SVD ``AutoencoderKLTemporalDecoder``).
 
 The reference gets this from the pretrained SVD pipeline
-(model/depthcrafter.py:24-29).  Native JAX here:
+(model/depthcrafter.py:24-29).  Native JAX here, structured exactly like the
+diffusers module so real checkpoints convert leaf-for-leaf:
 
   * Encoder — standard SD VAE encoder, per-frame 2D: 4 stages
     (128, 256, 512, 512) × 2 resnets, stride-2 downsamples, mid block with
-    single-head attention; outputs 2×4ch moments, latents scaled by 0.18215.
-  * TemporalDecoder — SVD's video decoder: spatio-temporal resnets
-    (frame-axis convs blended with a learned alpha), mid attention, and a
-    final frame-axis conv_out so decoded frames are temporally consistent.
+    single-head attention; conv_out emits 2×4ch moments, then a 1×1
+    ``quant_conv``.  ``encode`` returns the distribution mode (mean),
+    UNSCALED — SVD concatenates raw conditioning latents; the 0.18215
+    scaling applies only to the denoised-latent space (see pipeline.py).
+  * TemporalDecoder — SVD's video decoder: mid + up blocks of
+    SpatioTemporalResBlocks (a spatial resnet and a frame-axis temporal
+    resnet blended by an AlphaBlender with merge_factor init 0.0 and
+    switch_spatial_to_temporal_mix=True), mid attention, and a final
+    frame-axis ``time_conv_out`` so decoded frames are temporally
+    consistent.
 
 Channels-last, jit-friendly, frames folded into batch for all 2D ops.
 """
@@ -32,6 +39,8 @@ SVD_VAE_SCALING = 0.18215
 
 
 class VaeResBlock(nn.Module):
+    """diffusers ResnetBlock2D with temb_channels=None (VAE flavor)."""
+
     out_ch: int
 
     @nn.compact
@@ -48,17 +57,43 @@ class VaeResBlock(nn.Module):
 
 
 class VaeAttnBlock(nn.Module):
+    """Single-head attention block (diffusers Attention with
+    residual_connection=True, bias=True on q/k/v/out)."""
+
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         y = GroupNorm(epsilon=1e-6, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
-        y = Attention(num_heads=1, head_dim=c, name="attn")(y)
+        y = Attention(num_heads=1, head_dim=c, qkv_bias=True, name="attn")(y)
         return x + y.reshape(b, h, w, c)
 
 
-class TemporalVaeResBlock(nn.Module):
-    """Spatial resnet + frame-axis conv mix (decoder only)."""
+class TemporalResnetBlock(nn.Module):
+    """diffusers TemporalResnetBlock (temb_channels=None): resnet over the
+    frame axis with (3,1,1) convs; 1×1×1-conv shortcut expressed as Dense.
+    eps = the decoder's temporal_eps (1e-5)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, H, W, C]
+        h = GroupNorm(epsilon=1e-5, name="norm1")(x)
+        h = nn.silu(h)
+        h = TemporalConv(self.out_ch, name="conv1")(h)
+        h = GroupNorm(epsilon=1e-5, name="norm2")(h)
+        h = nn.silu(h)
+        h = TemporalConv(self.out_ch, name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Dense(self.out_ch, name="conv_shortcut")(x)
+        return x + h
+
+
+class VaeSpatioTemporalResBlock(nn.Module):
+    """diffusers SpatioTemporalResBlock as instantiated by
+    MidBlockTemporalDecoder / UpBlockTemporalDecoder: no time embedding,
+    merge_strategy="learned", merge_factor=0.0,
+    switch_spatial_to_temporal_mix=True."""
 
     out_ch: int
 
@@ -68,10 +103,8 @@ class TemporalVaeResBlock(nn.Module):
         bt, hh, ww, c = s.shape
         b = bt // num_frames
         s5 = s.reshape(b, num_frames, hh, ww, c)
-        t5 = TemporalConv(self.out_ch, name="time_conv_1")(s5)
-        t5 = nn.silu(t5)
-        t5 = TemporalConv(self.out_ch, name="time_conv_2")(t5)
-        out = AlphaBlender(name="time_mixer")(s5, t5)
+        t5 = TemporalResnetBlock(self.out_ch, name="temporal_res_block")(s5)
+        out = AlphaBlender(merge_factor=0.0, switch=True, name="time_mixer")(s5, t5)
         return out.reshape(bt, hh, ww, c)
 
 
@@ -110,13 +143,13 @@ class TemporalDecoder(nn.Module):
     def __call__(self, z, num_frames: int):
         ch_top = self.block_out_channels[-1]
         h = Conv2d(ch_top, name="conv_in")(z)
-        h = TemporalVaeResBlock(ch_top, name="mid_res_0")(h, num_frames)
+        h = VaeSpatioTemporalResBlock(ch_top, name="mid_res_0")(h, num_frames)
         h = VaeAttnBlock(name="mid_attn")(h)
-        h = TemporalVaeResBlock(ch_top, name="mid_res_1")(h, num_frames)
+        h = VaeSpatioTemporalResBlock(ch_top, name="mid_res_1")(h, num_frames)
 
         for i, ch in enumerate(reversed(self.block_out_channels)):
             for j in range(self.layers_per_block + 1):
-                h = TemporalVaeResBlock(ch, name=f"up_{i}_res_{j}")(h, num_frames)
+                h = VaeSpatioTemporalResBlock(ch, name=f"up_{i}_res_{j}")(h, num_frames)
             if i < len(self.block_out_channels) - 1:
                 bt, hh, ww, c = h.shape
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
@@ -134,7 +167,7 @@ class TemporalDecoder(nn.Module):
 
 
 class AutoencoderKLTemporal(nn.Module):
-    """encode(frames) → scaled latents; decode(latents) → frames."""
+    """encode(frames) → UNSCALED latent mode; decode(scaled latents) → frames."""
 
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
@@ -145,22 +178,28 @@ class AutoencoderKLTemporal(nn.Module):
         self.encoder = Encoder(
             self.block_out_channels, self.layers_per_block, self.latent_channels
         )
+        self.quant_conv = Conv2d(2 * self.latent_channels, kernel=1, name="quant_conv")
         self.decoder = TemporalDecoder(
             self.block_out_channels, self.layers_per_block, self.latent_channels
         )
 
     def encode(self, frames):
-        """[B*T, H, W, 3] in [-1,1] → latent mean [B*T, H/8, W/8, 4], scaled."""
-        moments = self.encoder(frames)
-        mean = moments[..., : self.latent_channels]
-        return mean * self.scaling_factor
+        """[B*T, H, W, 3] in [-1,1] → latent mode [B*T, H/8, W/8, 4], UNSCALED
+        (SVD semantics: conditioning latents enter the UNet raw; only the
+        denoised-latent space carries the 0.18215 scaling)."""
+        moments = self.quant_conv(self.encoder(frames))
+        return moments[..., : self.latent_channels]
+
+    def encode_scaled(self, frames):
+        """Mode × scaling_factor — the denoised/training latent space."""
+        return self.encode(frames) * self.scaling_factor
 
     def decode(self, latents, num_frames: int):
         """Scaled latents → frames [B*T, H, W, 3] (≈[-1,1])."""
         return self.decoder(latents / self.scaling_factor, num_frames)
 
     def __call__(self, frames, num_frames: int):
-        return self.decode(self.encode(frames), num_frames)
+        return self.decode(self.encode_scaled(frames), num_frames)
 
 
 def tiny_vae_config():

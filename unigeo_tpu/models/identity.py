@@ -65,3 +65,9 @@ class IdentityModel:
             "pred_normals": normals,
             "pred_poses": poses,
         }
+
+    def forward_batch(self, datas) -> list:
+        """Batched contract for the dp eval path; per-clip results are
+        byte-identical to serial ``forward`` calls in the same order (the
+        noise rng advances identically)."""
+        return [self.forward(d) for d in datas]

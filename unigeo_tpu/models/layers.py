@@ -40,13 +40,20 @@ def sinusoidal_embedding(
 
 
 class TimestepEmbedding(nn.Module):
-    """Two-layer MLP lifting a sinusoidal embedding to the model width."""
+    """Two-layer MLP lifting a sinusoidal embedding to the model width.
+
+    diffusers TimestepEmbedding(in, time_embed_dim, out_dim): linear_1 maps
+    to ``hidden_dim`` (default = dim), linear_2 to ``dim``.  The UNet-level
+    embeddings use hidden == out == 4·ch0; the per-transformer
+    ``time_pos_embed`` uses hidden = 4·C with out = C.
+    """
 
     dim: int
+    hidden_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.dim, name="linear_1")(x)
+        x = nn.Dense(self.hidden_dim or self.dim, name="linear_1")(x)
         x = nn.silu(x)
         return nn.Dense(self.dim, name="linear_2")(x)
 
@@ -75,9 +82,12 @@ class Attention(nn.Module):
     context_dim: Optional[int] = None
     out_bias: bool = True
     qkv_bias: bool = False  # diffusers UNet: False; CLIP towers: True
+    packed: bool = True  # packed-layout kernel on TPU (no head transposes)
 
     @nn.compact
     def __call__(self, x, context=None):
+        from unigeo_tpu.ops.attention import attention_packed, use_packed_attention
+
         c = x.shape[-1]
         head_dim = self.head_dim or c // self.num_heads
         inner = head_dim * self.num_heads
@@ -89,11 +99,15 @@ class Attention(nn.Module):
 
         b, s, _ = q.shape
         sk = k.shape[1]
-        q = q.reshape(b, s, self.num_heads, head_dim)
-        k = k.reshape(b, sk, self.num_heads, head_dim)
-        v = v.reshape(b, sk, self.num_heads, head_dim)
-        out = attention(q, k, v)
-        out = out.reshape(b, s, inner)
+        if self.packed and use_packed_attention(s, head_dim):
+            # q/k/v stay in the [B, S, H·D] layout the projections emit and
+            # the out-projection consumes — zero layout copies
+            out = attention_packed(q, k, v, self.num_heads, head_dim**-0.5)
+        else:
+            q = q.reshape(b, s, self.num_heads, head_dim)
+            k = k.reshape(b, sk, self.num_heads, head_dim)
+            v = v.reshape(b, sk, self.num_heads, head_dim)
+            out = attention(q, k, v).reshape(b, s, inner)
         return nn.Dense(c, use_bias=self.out_bias, name="to_out")(out)
 
 
@@ -104,7 +118,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) gelu — torch F.gelu default, used by diffusers GEGLU
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -121,13 +136,24 @@ class AlphaBlender(nn.Module):
     """Learned scalar mix between the spatial and temporal branches.
 
     alpha = sigmoid(mix_factor); out = alpha*spatial + (1-alpha)*temporal
-    (the "learned" merge strategy of video diffusion resnets/transformers).
+    (the "learned"/"learned_with_images" merge strategies of video diffusion
+    resnets/transformers; with no image-only frames both reduce to the same
+    sigmoid mix).  ``switch`` flips alpha to weight the temporal branch —
+    diffusers' switch_spatial_to_temporal_mix, used by the SVD temporal-VAE
+    decoder blocks (merge_factor init 0.0 there, 0.5 in the UNet).
     """
+
+    merge_factor: float = 0.5
+    switch: bool = False
 
     @nn.compact
     def __call__(self, x_spatial, x_temporal):
-        mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,))
+        mix = self.param(
+            "mix_factor", nn.initializers.constant(self.merge_factor), (1,)
+        )
         alpha = jax.nn.sigmoid(mix)[0]
+        if self.switch:
+            alpha = 1.0 - alpha
         return alpha * x_spatial + (1.0 - alpha) * x_temporal
 
 

@@ -42,20 +42,27 @@ class _RecurrentStep(nn.Module):
     dec_depth: int
     dec_heads: int
     state_update_depth: int = 2
+    return_hooks: bool = False  # per-layer outputs for a DPT head
 
     @nn.compact
     def __call__(self, state, tok):
         # frame tokens read the state
-        dec = PointmapDecoder(
-            self.dec_width, self.dec_depth, self.dec_heads, name="decoder"
-        )(tok[None], state[None])[0]
+        out = PointmapDecoder(
+            self.dec_width, self.dec_depth, self.dec_heads,
+            return_hooks=self.return_hooks, name="decoder",
+        )(tok[None], state[None])
+        if self.return_hooks:
+            dec, hooks = out[0][0], [h[0] for h in out[1]]
+        else:
+            dec, hooks = out[0], None
         # state tokens read the frame (recurrent update)
         new_state = state
         for i in range(self.state_update_depth):
             new_state = ViTBlock(self.dec_heads, name=f"state_block_{i}")(
                 new_state[None], dec[None]
             )[0]
-        return new_state, dec
+        ys = (dec, hooks) if self.return_hooks else dec
+        return new_state, ys
 
 
 class Cut3RNetwork(nn.Module):
@@ -67,6 +74,7 @@ class Cut3RNetwork(nn.Module):
     dec_heads: int = 8
     patch_size: int = 16
     num_state_tokens: int = 64
+    head_type: str = "linear"  # "linear" | "dpt" (the external nets use DPT)
 
     @nn.compact
     def __call__(self, frames):
@@ -89,16 +97,30 @@ class Cut3RNetwork(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        _, dec_tokens = ScannedStep(
-            self.dec_width, self.dec_depth, self.dec_heads, name="recurrent_step"
+        use_dpt = self.head_type == "dpt"
+        _, ys = ScannedStep(
+            self.dec_width, self.dec_depth, self.dec_heads,
+            return_hooks=use_dpt, name="recurrent_step",
         )(state0, enc_tokens)
 
-        self_pts, self_conf = PointmapHead(self.patch_size, name="head_self")(
-            dec_tokens, grid
-        )
-        world_pts, world_conf = PointmapHead(self.patch_size, name="head_world")(
-            dec_tokens, grid
-        )
+        if use_dpt:
+            from unigeo_tpu.models.pointmap.dpt import DPTPointmapHead
+
+            dec_tokens, hooks = ys
+            self_pts, self_conf = DPTPointmapHead(
+                self.patch_size, name="head_self"
+            )(hooks, grid)
+            world_pts, world_conf = DPTPointmapHead(
+                self.patch_size, name="head_world"
+            )(hooks, grid)
+        else:
+            dec_tokens = ys
+            self_pts, self_conf = PointmapHead(self.patch_size, name="head_self")(
+                dec_tokens, grid
+            )
+            world_pts, world_conf = PointmapHead(self.patch_size, name="head_world")(
+                dec_tokens, grid
+            )
         pose_enc = PoseHead(name="head_pose")(dec_tokens)
         return {
             "self_pts": self_pts,

@@ -46,15 +46,25 @@ class PointmapDecoder(nn.Module):
     width: int = 512
     depth: int = 6
     num_heads: int = 8
+    return_hooks: bool = False  # also return 4 evenly-spaced layer outputs
 
     @nn.compact
     def __call__(self, tokens, context):
         """tokens [B, N, C_enc] cross-attend to context [B, M, width]."""
         h = nn.Dense(self.width, name="proj_in")(tokens)
-        h = ScannedViTBlocks(
-            self.depth, self.num_heads, with_cross=True, name="blocks"
+        out = ScannedViTBlocks(
+            self.depth, self.num_heads, with_cross=True,
+            return_layers=self.return_hooks, name="blocks",
         )(h, context)
-        return nn.LayerNorm(name="norm")(h)
+        if not self.return_hooks:
+            return nn.LayerNorm(name="norm")(out)
+        h, layers = out
+        final = nn.LayerNorm(name="norm")(h)
+        # DPT hook points: 4 evenly-spaced decoder depths, last = normed out
+        # (dust3r dpt_head hooks analog)
+        idx = [max(0, (self.depth * k) // 4 - 1) for k in (1, 2, 3)]
+        hooks = [layers[i] for i in idx] + [final]
+        return final, hooks
 
 
 class PointmapHead(nn.Module):

@@ -43,6 +43,7 @@ class _MemoryStep(nn.Module):
     dec_depth: int
     dec_heads: int
     memory_frames: int
+    return_hooks: bool = False  # per-layer outputs for a DPT head
 
     @nn.compact
     def __call__(self, carry, tok):
@@ -51,16 +52,22 @@ class _MemoryStep(nn.Module):
         # decode current frame against [its own projection ⊕ ring memory]
         self_ctx = nn.Dense(self.dec_width, name="memory_proj")(tok)
         ctx = jnp.concatenate([self_ctx, mem * mem_mask[:, None]], axis=0)
-        dec = PointmapDecoder(
-            self.dec_width, self.dec_depth, self.dec_heads, name="decoder"
-        )(tok[None], ctx[None])[0]
+        out = PointmapDecoder(
+            self.dec_width, self.dec_depth, self.dec_heads,
+            return_hooks=self.return_hooks, name="decoder",
+        )(tok[None], ctx[None])
+        if self.return_hooks:
+            dec, hooks = out[0][0], [h[0] for h in out[1]]
+        else:
+            dec, hooks = out[0], None
         # write this frame's decoder tokens into the ring buffer
         start = (slot % self.memory_frames) * n_tok
         mem = jax.lax.dynamic_update_slice(mem, dec, (start, 0))
         mem_mask = jax.lax.dynamic_update_slice(
             mem_mask, jnp.ones((n_tok,)), (start,)
         )
-        return (mem, mem_mask, slot + 1), dec
+        ys = (dec, hooks) if self.return_hooks else dec
+        return (mem, mem_mask, slot + 1), ys
 
 
 class Spann3RNetwork(nn.Module):
@@ -74,6 +81,7 @@ class Spann3RNetwork(nn.Module):
     dec_heads: int = 8
     patch_size: int = 16
     memory_frames: int = 4  # ring buffer capacity (static)
+    head_type: str = "linear"  # "linear" | "dpt" (the external nets use DPT)
 
     @nn.compact
     def __call__(self, frames):
@@ -97,12 +105,19 @@ class Spann3RNetwork(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        (_, _, _), dec_tokens = ScannedStep(
+        use_dpt = self.head_type == "dpt"
+        (_, _, _), ys = ScannedStep(
             self.dec_width, self.dec_depth, self.dec_heads, self.memory_frames,
-            name="memory_step",
+            use_dpt, name="memory_step",
         )((init_mem, init_mask, jnp.int32(0)), enc_tokens)
 
-        pts, conf = PointmapHead(self.patch_size, name="head")(dec_tokens, grid)
+        if use_dpt:
+            from unigeo_tpu.models.pointmap.dpt import DPTPointmapHead
+
+            _, hooks = ys  # each hook [T, N, C]
+            pts, conf = DPTPointmapHead(self.patch_size, name="head")(hooks, grid)
+        else:
+            pts, conf = PointmapHead(self.patch_size, name="head")(ys, grid)
         return pts, conf
 
 

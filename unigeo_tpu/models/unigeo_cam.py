@@ -82,17 +82,19 @@ class UniGeoCam:
         normals[..., 0] *= -1.0
         normals /= np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-6)
 
-        # geometry branch: backproject with the GT intrinsics when provided,
-        # else recover focal/poses from the maps themselves
-        if "intrinsics" in data:
-            K = np.asarray(data["intrinsics"], np.float32)
-            cam_pts = np.asarray(backproject_batch_cv(jnp.asarray(depths), jnp.asarray(K)))
-        else:
-            cam_pts = None
-
-        world_src = cam_pts if cam_pts is not None else None
-        if world_src is None:
-            world_src = np.repeat(depths[..., None], 3, axis=-1)
+        # geometry branch: backproject with the GT intrinsics; refuse to
+        # fabricate pointmaps without them (a repeat-z tensor is not
+        # geometry and would silently poison pcd/camera metrics)
+        if "intrinsics" not in data:
+            raise ValueError(
+                "UniGeoCam needs per-frame intrinsics in the sample to emit "
+                "world points / poses; got none. Run with eval_depth/"
+                "eval_normal only, or provide intrinsics."
+            )
+        K = np.asarray(data["intrinsics"], np.float32)
+        world_src = np.asarray(
+            backproject_batch_cv(jnp.asarray(depths), jnp.asarray(K))
+        )
         _, extrinsics, _ = solve_depth_and_camera_from_pointmaps(jnp.asarray(world_src))
         poses = coords.se3_inverse(np.asarray(extrinsics)).astype(np.float32)
 

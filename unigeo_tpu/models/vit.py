@@ -46,13 +46,13 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context: Optional[jnp.ndarray] = None):
         x = x + Attention(self.num_heads, qkv_bias=self.qkv_bias, name="attn")(
-            nn.LayerNorm(name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         )
         if context is not None:
             x = x + Attention(
                 self.num_heads, qkv_bias=self.qkv_bias, name="cross_attn"
-            )(nn.LayerNorm(name="norm_cross")(x), context)
-        x = x + MLP(act=self.act, name="mlp")(nn.LayerNorm(name="norm2")(x))
+            )(nn.LayerNorm(epsilon=1e-5, name="norm_cross")(x), context)
+        x = x + MLP(act=self.act, name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         return x
 
 
@@ -63,13 +63,14 @@ class _BlockStep(nn.Module):
     with_cross: bool = False
     qkv_bias: bool = False
     act: str = "gelu"
+    collect: bool = False  # emit the layer output as a scan y (DPT hooks)
 
     @nn.compact
     def __call__(self, x, context):
         x = ViTBlock(self.num_heads, self.qkv_bias, self.act, name="block")(
             x, context if self.with_cross else None
         )
-        return x, None
+        return x, (x if self.collect else None)
 
 
 class ScannedViTBlocks(nn.Module):
@@ -85,6 +86,7 @@ class ScannedViTBlocks(nn.Module):
     with_cross: bool = False
     qkv_bias: bool = False
     act: str = "gelu"
+    return_layers: bool = False  # also return [depth, B, N, C] layer outputs
 
     @nn.compact
     def __call__(self, x, context: Optional[jnp.ndarray] = None):
@@ -95,23 +97,27 @@ class ScannedViTBlocks(nn.Module):
             length=self.depth,
             in_axes=nn.broadcast,
         )
-        x, _ = Scan(
+        x, layers = Scan(
             self.num_heads, self.with_cross, self.qkv_bias, self.act,
-            name="layers",
+            self.return_layers, name="layers",
         )(x, context)
+        if self.return_layers:
+            return x, layers
         return x
 
 
 class PatchEmbed(nn.Module):
     width: int
     patch_size: int
+    use_bias: bool = True  # transformers CLIP patch_embedding: bias=False
 
     @nn.compact
     def __call__(self, images):
         """[B, H, W, 3] → [B, H/p * W/p, width]"""
         p = self.patch_size
         h = nn.Conv(
-            self.width, (p, p), strides=(p, p), padding="VALID", name="proj"
+            self.width, (p, p), strides=(p, p), padding="VALID",
+            use_bias=self.use_bias, name="proj",
         )(images)
         b, gh, gw, c = h.shape
         return h.reshape(b, gh * gw, c), (gh, gw)
@@ -147,24 +153,14 @@ class VisionTransformer(nn.Module):
     max_grid: int = 64
     qkv_bias: bool = False
     act: str = "gelu"
+    patch_bias: bool = True
 
     @nn.compact
     def __call__(self, images):
-        tokens, (gh, gw) = PatchEmbed(self.width, self.patch_size, name="patch_embed")(
-            images
-        )
-        if self.learned_pos_embed:
-            pos = self.param(
-                "pos_embed",
-                nn.initializers.normal(0.02),
-                (self.max_grid * self.max_grid, self.width),
-            )
-            pos_grid = pos.reshape(self.max_grid, self.max_grid, self.width)[
-                :gh, :gw
-            ].reshape(gh * gw, self.width)
-        else:
-            pos_grid = sincos_2d_pos_embed(self.width, gh, gw)
-        tokens = tokens + pos_grid[None]
+        tokens, (gh, gw) = PatchEmbed(
+            self.width, self.patch_size, use_bias=self.patch_bias,
+            name="patch_embed",
+        )(images)
 
         if self.use_class_token:
             cls = self.param(
@@ -173,12 +169,41 @@ class VisionTransformer(nn.Module):
             cls_tok = jnp.broadcast_to(cls, (tokens.shape[0], 1, self.width))
             tokens = jnp.concatenate([cls_tok, tokens], axis=1)
 
-        tokens = nn.LayerNorm(name="pre_norm")(tokens)
+        if self.learned_pos_embed:
+            # transformers CLIP layout: row 0 is the class-token position,
+            # rows 1.. are the patch grid — one table, added after the
+            # class token is prepended.
+            n_cls = 1 if self.use_class_token else 0
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02),
+                (self.max_grid * self.max_grid + n_cls, self.width),
+            )
+            pos_grid = pos[n_cls:].reshape(self.max_grid, self.max_grid, self.width)[
+                :gh, :gw
+            ].reshape(gh * gw, self.width)
+            pos_full = (
+                jnp.concatenate([pos[:n_cls], pos_grid], axis=0)
+                if n_cls
+                else pos_grid
+            )
+        else:
+            pos_grid = sincos_2d_pos_embed(self.width, gh, gw)
+            pos_full = (
+                jnp.concatenate(
+                    [jnp.zeros((1, self.width), pos_grid.dtype), pos_grid], axis=0
+                )
+                if self.use_class_token
+                else pos_grid
+            )
+        tokens = tokens + pos_full[None]
+
+        tokens = nn.LayerNorm(epsilon=1e-5, name="pre_norm")(tokens)
         tokens = ScannedViTBlocks(
             self.depth, self.num_heads, qkv_bias=self.qkv_bias, act=self.act,
             name="blocks",
         )(tokens)
-        tokens = nn.LayerNorm(name="post_norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, name="post_norm")(tokens)
         return tokens, (gh, gw)
 
 
@@ -201,10 +226,11 @@ class ClipImageEmbedder(nn.Module):
         """[B, H, W, 3] float in [0,1] → [B, 1, projection_dim]"""
         import jax
 
+        # bicubic + antialias ≈ the SVD pipeline's _resize_with_antialiasing
         x = jax.image.resize(
             frames01,
             (frames01.shape[0], self.image_size, self.image_size, 3),
-            method="bilinear",
+            method="bicubic",
         )
         mean = jnp.asarray(CLIP_IMAGE_MEAN)
         std = jnp.asarray(CLIP_IMAGE_STD)
@@ -219,6 +245,7 @@ class ClipImageEmbedder(nn.Module):
             max_grid=self.image_size // self.patch_size,
             qkv_bias=True,
             act="quick_gelu",
+            patch_bias=False,  # transformers CLIPVisionEmbeddings: bias=False
             name="vision_model",
         )(x)
         pooled = tokens[:, 0]

@@ -205,7 +205,448 @@ def flash_attention_tpu(q, k, v, scale=None, block_q: int = 1024, block_k: int =
 
 
 # ---------------------------------------------------------------------------
-# dispatcher with custom VJP (backward = AD of the reference formulation)
+# Packed multi-head forward: q/k/v stay [B, S, H·D] (the native layout the
+# qkv projections emit), heads are static lane slices inside the kernel —
+# no [B,S,H,D] → [B·H,S,D] moveaxis copies on either side of the kernel
+# (ROADMAP r1 perf item: ~40 ms/step of pure layout copies).
+# ---------------------------------------------------------------------------
+
+def _flash_packed_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale, nk, sk, num_heads, head_dim,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [bq, H*D]
+    k = k_ref[0]  # [bk, H*D]
+    v = v_ref[0]
+    bk = k.shape[0]
+    col = None
+    d = head_dim
+
+    for h in range(num_heads):  # static unroll; lanes h hold head-h stats
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bq, bk]
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+        s = jnp.where(col < sk, s, _NEG_INF)
+
+        m_prev = m_scr[:, h : h + 1]  # [bq, 1]
+        row_max = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, row_max)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_scr[:, h : h + 1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:, h : h + 1] = m_new
+        l_scr[:, h : h + 1] = l_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        # build the per-column softmax denominator without 3D reshapes
+        # (Mosaic rejects (bq, H·D) → (bq, H, D) shape casts): column j of
+        # the accumulator belongs to head j // D
+        acc = acc_scr[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        denom = jnp.ones_like(acc)
+        for h in range(num_heads):
+            l_h = jnp.maximum(l_scr[:, h : h + 1], 1e-30)  # [bq, 1]
+            denom = jnp.where(lane // d == h, l_h, denom)
+        o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def _packed_blocks(hd: int, block_q: int, block_k: int):
+    """Tile sizes so double-buffered q/k/v/o blocks + f32 acc + the
+    [bq, bk] score/prob temporaries fit the ~16 MB VMEM budget across the
+    SVD widths (H·D 320..1280)."""
+    if hd <= 384:
+        return min(block_q, 512), min(block_k, 768)
+    if hd <= 768:
+        return min(block_q, 384), min(block_k, 512)
+    return min(block_q, 256), min(block_k, 384)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_q", "block_k", "interpret")
+)
+def flash_attention_tpu_packed(
+    q, k, v, num_heads: int, scale=None,
+    block_q: int = 1024, block_k: int = 1024, interpret: bool = False,
+):
+    """Packed-layout flash forward.  q [B,Sq,H·D], k/v [B,Sk,H·D] → [B,Sq,H·D]."""
+    b, sq, hd = q.shape
+    d = hd // num_heads
+    if scale is None:
+        scale = d**-0.5
+    sk = k.shape[1]
+    block_q, block_k = _packed_blocks(hd, block_q, block_k)
+    block_q = min(block_q, max(sq, 8))
+    block_k = min(block_k, max(sk, 128))
+    qp = _pad_seq(q, block_q)
+    kp = _pad_seq(k, block_k)
+    vp = _pad_seq(v, block_k)
+    nq = qp.shape[1] // block_q
+    nk = kp.shape[1] // block_k
+
+    assert num_heads <= 128, "head stats live in one lane each"
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_packed_kernel, scale=scale, nk=nk, sk=sk,
+            num_heads=num_heads, head_dim=d,
+        ),
+        grid=(b, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bi, qi, ki: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda bi, qi, ki: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi, ki: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nq * block_q, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def attention_packed(q, k, v, num_heads: int, scale):
+    """Differentiable packed attention ([B,S,H·D] end to end); backward
+    runs the flash dq/dk/dv kernels in head-split layout."""
+    return flash_attention_tpu_packed(q, k, v, num_heads, scale=scale)
+
+
+def _packed_split(x, h):
+    b, s, hd = x.shape
+    return x.reshape(b, s, h, hd // h)
+
+
+def _attention_packed_fwd(q, k, v, num_heads, scale):
+    qs = _packed_split(q, num_heads)
+    out, lse = flash_attention_tpu_fwd_lse(
+        qs, _packed_split(k, num_heads), _packed_split(v, num_heads), scale=scale
+    )
+    b, s, hd = q.shape
+    return out.reshape(b, s, hd), (q, k, v, out, lse)
+
+
+def _attention_packed_bwd(num_heads, scale, res, g):
+    q, k, v, out, lse = res
+    dq, dk, dv = flash_attention_tpu_bwd(
+        _packed_split(q, num_heads), _packed_split(k, num_heads),
+        _packed_split(v, num_heads), out, lse, _packed_split(g, num_heads),
+        scale=scale,
+    )
+    merge = lambda x: x.reshape(x.shape[0], x.shape[1], -1)
+    return merge(dq), merge(dk), merge(dv)
+
+
+attention_packed.defvjp(_attention_packed_fwd, _attention_packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward (flash dq/dk/dv; VERDICT r1 item 9)
+# ---------------------------------------------------------------------------
+
+def _flash_fwd_lse_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, nk, sk
+):
+    """Forward that additionally emits the row logsumexp for the backward."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    bk = k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+    s = jnp.where(col < sk, s, _NEG_INF)
+
+    m_prev = m_scr[:]
+    row_max = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, row_max)
+    alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
+    p = jnp.exp(s - m_new[:, :1])
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l_final = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc_scr[:] / l_final).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:, 0] + jnp.log(l_final[:, 0])).astype(lse_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, scale, nk, sk, sq,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # [bq]
+    delta = delta_ref[0]  # [bq]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    bq, bk = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * bq
+    valid = (col < sk) & (row < sq)
+    p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta[:, None]) * scale
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, scale, nq, sk, sq,
+):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    bq, bk = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * bq
+    valid = (col < sk) & (row < sq)
+    p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
+
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta[:, None]) * scale
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bhsd_to_heads(x):
+    b, s, h, d = x.shape
+    return jnp.moveaxis(x, 2, 1).reshape(b * h, s, d)
+
+
+def _pad_seq(x, block):
+    pad = (-x.shape[1]) % block
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention_tpu_fwd_lse(
+    q, k, v, scale=None, block_q: int = 1024, block_k: int = 1536,
+    interpret: bool = False,
+):
+    """Forward + row logsumexp.  [B,S,H,D] → ([B,Sq,H,D], lse [B*H, Sq_pad])."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    block_q, block_k = _auto_blocks(d, block_q, block_k)
+    sk = k.shape[1]
+    block_q = min(block_q, max(sq, 8))
+    block_k = min(block_k, max(sk, 128))
+    qh = _pad_seq(_bhsd_to_heads(q), block_q)
+    kh = _pad_seq(_bhsd_to_heads(k), block_k)
+    vh = _pad_seq(_bhsd_to_heads(v), block_k)
+    nq = qh.shape[1] // block_q
+    nk = kh.shape[1] // block_k
+
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_lse_kernel, scale=scale, nk=nk, sk=sk),
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qi, ki: (bh, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq * block_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq * block_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh)
+    o = jnp.moveaxis(out[:, :sq].reshape(b, h, sq, d), 1, 2)
+    return o, lse
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention_tpu_bwd(
+    q, k, v, o, lse, g, scale=None, block_q: int = 512, block_k: int = 512,
+    interpret: bool = False,
+):
+    """Flash backward: (dq, dk, dv), all [B, S, H, D].
+
+    lse: [B*H, Sq_pad] from flash_attention_tpu_fwd_lse (padded rows carry
+    -inf; both kernels mask rows ≥ sq so they contribute nothing).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q, block_k = _auto_blocks(d, block_q, block_k)
+    block_q = min(block_q, max(sq, 8))
+    block_k = min(block_k, max(sk, 128))
+
+    qh = _pad_seq(_bhsd_to_heads(q), block_q)
+    kh = _pad_seq(_bhsd_to_heads(k), block_k)
+    vh = _pad_seq(_bhsd_to_heads(v), block_k)
+    doh = _pad_seq(_bhsd_to_heads(g), block_q)
+    oh = _pad_seq(_bhsd_to_heads(o), block_q)
+    nq = qh.shape[1] // block_q
+    nk = kh.shape[1] // block_k
+    # fwd/bwd block_q (and therefore padded lengths) may differ
+    target = qh.shape[1]
+    if lse.shape[1] > target:
+        lse = lse[:, :target]
+    elif lse.shape[1] < target:
+        lse = jnp.pad(
+            lse, ((0, 0), (0, target - lse.shape[1])), constant_values=_NEG_INF
+        )
+    # delta = rowsum(dO ∘ O) (padded rows → 0)
+    delta = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
+
+    qspec = pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, block_q), lambda bh, qi, ki: (bh, qi),
+                           memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, nk=nk, sk=sk, sq=sq),
+        grid=(b * h, nq, nk),
+        in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b * h, nq * block_q, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse, delta)
+
+    # dk/dv: accumulate over q blocks → q is the innermost grid axis
+    qspec_t = pl.BlockSpec((1, block_q, d), lambda bh, ki, qi: (bh, qi, 0),
+                           memory_space=pltpu.VMEM)
+    kspec_t = pl.BlockSpec((1, block_k, d), lambda bh, ki, qi: (bh, ki, 0),
+                           memory_space=pltpu.VMEM)
+    rowspec_t = pl.BlockSpec((1, block_q), lambda bh, ki, qi: (bh, qi),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, nq=nq, sk=sk, sq=sq),
+        grid=(b * h, nk, nq),
+        in_specs=[qspec_t, kspec_t, kspec_t, qspec_t, rowspec_t, rowspec_t],
+        out_specs=[kspec_t, kspec_t],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nk * block_k, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, nk * block_k, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse, delta)
+
+    def back(x, s):
+        return jnp.moveaxis(x[:, :s].reshape(b, h, s, d), 1, 2)
+
+    return back(dq, sq), back(dk, sk), back(dv, sk)
+
+
+# ---------------------------------------------------------------------------
+# dispatcher with custom VJP (backward = Pallas flash dq/dk/dv)
 # ---------------------------------------------------------------------------
 
 def _is_tpu() -> bool:
@@ -221,13 +662,13 @@ def _attention_tpu(q, k, v, scale):
 
 
 def _attention_fwd(q, k, v, scale):
-    return flash_attention_tpu(q, k, v, scale=scale), (q, k, v)
+    out, lse = flash_attention_tpu_fwd_lse(q, k, v, scale=scale)
+    return out, (q, k, v, out, lse)
 
 
 def _attention_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return flash_attention_tpu_bwd(q, k, v, out, lse, g, scale=scale)
 
 
 _attention_tpu.defvjp(_attention_fwd, _attention_bwd)
@@ -240,3 +681,15 @@ def attention(q, k, v, scale=None, min_pallas_seq: int = 128):
     if _is_tpu() and q.shape[1] >= min_pallas_seq:
         return _attention_tpu(q, k, v, scale)
     return attention_reference(q, k, v, scale=scale)
+
+
+def use_packed_attention(seq_len: int, head_dim: int, min_seq: int = 128) -> bool:
+    """Packed-layout kernel dispatch: TPU + long query sequences (same
+    threshold as ``attention``; short temporal sequences stay on the jnp
+    path where the kernel launch dominates).  UNIGEO_PACKED_ATTN=0
+    force-disables (A/B benching)."""
+    import os
+
+    if os.environ.get("UNIGEO_PACKED_ATTN", "1") == "0":
+        return False
+    return _is_tpu() and seq_len >= min_seq

@@ -79,11 +79,17 @@ class DiffusionTrainer:
         unet_in = jnp.concatenate([x_in, cond], axis=-1).reshape(
             b * t, *latents.shape[2:-1], 8
         )
-        timesteps = jnp.interp(
-            jnp.log(sigma[:, 0, 0, 0, 0]),
-            jnp.log(jnp.asarray(self.scheduler.train_sigmas, jnp.float32)),
-            jnp.arange(self.scheduler.config.num_train_timesteps, dtype=jnp.float32),
-        )  # [B]
+        if self.scheduler.config.timestep_type == "continuous":
+            # SVD conditioning: c_noise = 0.25·ln(sigma)
+            timesteps = 0.25 * jnp.log(sigma[:, 0, 0, 0, 0])
+        else:
+            timesteps = jnp.interp(
+                jnp.log(sigma[:, 0, 0, 0, 0]),
+                jnp.log(jnp.asarray(self.scheduler.train_sigmas, jnp.float32)),
+                jnp.arange(
+                    self.scheduler.config.num_train_timesteps, dtype=jnp.float32
+                ),
+            )  # [B]
         added = jnp.tile(jnp.asarray([[6.0, 127.0, 0.02]], jnp.float32), (b, 1))
         v_pred = self.unet.apply(
             {"params": params},

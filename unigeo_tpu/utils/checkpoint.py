@@ -84,6 +84,9 @@ def load_params(path: str) -> Any:
 
 def convert_tensor(name: str, value: np.ndarray) -> np.ndarray:
     """Transpose a torch tensor into the flax layout by rank + role."""
+    if name.endswith("position_embedding.weight") or name.endswith("pos_embed.weight"):
+        return value  # nn.Embedding tables stay [num, dim]
+        # (patch_embedding.weight is a real Conv2d and falls through)
     if name.endswith(".weight"):
         if value.ndim == 5:  # Conv3d (temporal (k,1,1) convs)
             return np.transpose(value, (2, 3, 4, 1, 0))
@@ -146,14 +149,29 @@ def graft_flat_params(flax_params: Any, flat: Dict[tuple, np.ndarray], strict: b
     def visit(path, leaf):
         nonlocal matched
         names = tuple(str(getattr(k, "key", k)) for k in path)
-        best, best_score = None, 0
+        best, best_score, ties, n_same_leaf = None, 0, 0, 0
         for tk, arr in flat.items():
             if not shapes_compatible(tuple(leaf.shape), tuple(arr.shape)):
                 continue
             score = common_suffix_len(names, tk)
+            if score >= 1:  # leaf name (kernel/bias/scale/...) agrees
+                n_same_leaf += 1
             if score > best_score:
-                best, best_score = arr, score
-        if best is not None and best_score >= 1:
+                best, best_score, ties = arr, score, 1
+            elif score == best_score and best is not None:
+                ties += 1
+        # Matching discipline: a leaf-name-only match (score 1) is accepted
+        # only when exactly ONE shape-compatible tensor carries that leaf
+        # name (bare single-module trees); with several such candidates the
+        # parent module name must also agree and the best match must be
+        # unique — otherwise a misrenamed key silently grafts an arbitrary
+        # tensor (this exact failure shipped the encoder's attention weights
+        # into the VAE decoder during round 2 development).
+        ok = best is not None and (
+            (best_score >= 1 and n_same_leaf == 1)
+            or (best_score >= 2 and ties == 1)
+        )
+        if ok:
             matched += 1
             return np.asarray(best, leaf.dtype).reshape(leaf.shape)
         missed.append(names)

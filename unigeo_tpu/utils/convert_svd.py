@@ -47,7 +47,7 @@ _UNET_RULES = [
 _COMMON_RULES = [
     (r"\.transformer_blocks\.0\.", ".transformer_blocks_0."),
     (r"\.temporal_transformer_blocks\.0\.", ".temporal_transformer_blocks_0."),
-    (r"\.to_out\.0\.", ".to_out."),
+    (r"(^|\.)to_out\.0\.", r"\1to_out."),
     (r"\.ff\.net\.0\.proj\.", ".ff.net_0.proj."),
     (r"\.ff\.net\.2\.", ".ff.net_2."),
     (r"\.ff_in\.net\.0\.proj\.", ".ff_in.net_0.proj."),
@@ -66,7 +66,10 @@ _VAE_RULES = [
     (r"^encoder\.conv_out\.", "encoder.conv_out."),
     (r"^encoder\.conv_norm_out\.", "encoder.conv_norm_out."),
     (r"^encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.", r"encoder.down_\1_res_\2."),
-    (r"^encoder\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.", r"encoder.down_\1_downsample."),
+    # the flax encoder/decoder use a bare Conv2d for down/upsampling (no
+    # inner "conv" level), so the Conv_0 wrapper level is injected here
+    (r"^encoder\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.",
+     r"encoder.down_\1_downsample.Conv_0."),
     (r"^encoder\.mid_block\.resnets\.(\d+)\.", r"encoder.mid_res_\1."),
     (r"^encoder\.mid_block\.attentions\.0\.", "encoder.mid_attn."),
     (r"^decoder\.conv_in\.", "decoder.conv_in."),
@@ -75,8 +78,13 @@ _VAE_RULES = [
     (r"^decoder\.time_conv_out\.", "decoder.time_conv_out."),
     (r"^decoder\.mid_block\.resnets\.(\d+)\.", r"decoder.mid_res_\1."),
     (r"^decoder\.mid_block\.attentions\.0\.", "decoder.mid_attn."),
+    # flax VaeAttnBlock nests an Attention module named "attn"; inject that
+    # level so encoder.mid_attn and decoder.mid_attn resolve unambiguously
+    # (without it both score identically on suffix and the first wins)
+    (r"(mid_attn)\.(to_q|to_k|to_v|to_out)\.", r"\1.attn.\2."),
     (r"^decoder\.up_blocks\.(\d+)\.resnets\.(\d+)\.", r"decoder.up_\1_res_\2."),
-    (r"^decoder\.up_blocks\.(\d+)\.upsamplers\.0\.conv\.", r"decoder.up_\1_upsample."),
+    (r"^decoder\.up_blocks\.(\d+)\.upsamplers\.0\.conv\.",
+     r"decoder.up_\1_upsample.Conv_0."),
 ]
 
 # ---------------------------------------------------------------------------
@@ -111,7 +119,7 @@ _CLIP_RULES = [
 # shortcut is an nn.Dense (named directly), fixed up after the general rule.
 _CONV_SITES = [
     (
-        r"(^|\.)((?:conv1|conv2|conv_shortcut|conv_in|conv_out|conv|"
+        r"(^|\.)((?:conv1|conv2|conv_shortcut|conv_in|conv_out|conv|quant_conv|"
         r"time_conv_1|time_conv_2|time_conv_out))\.(weight|bias)$",
         r"\1\2.Conv_0.\3",
     ),
