@@ -162,3 +162,33 @@ def test_packed_attention_gradients_match_reference(rng):
     refs = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     for got, ref in zip((dq, dk, dv), refs):
         assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 5e-4
+
+
+def test_single_key_cross_attention_shortcut_exact(rng):
+    """The Attention module's single-key fast path (softmax over one logit
+    is identically 1, so output == to_out(to_v(ctx)) for every query) must
+    agree with the full attention math computed from the same params."""
+    from unigeo_tpu.models.layers import Attention
+
+    b, s, c, ctx_dim, heads, hd = 2, 12, 16, 10, 2, 8
+    x = jnp.asarray(rng.normal(size=(b, s, c)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(b, 1, ctx_dim)), jnp.float32)
+    attn = Attention(num_heads=heads, head_dim=hd, context_dim=ctx_dim)
+    params = attn.init(jax.random.PRNGKey(0), x, ctx)["params"]
+    out = attn.apply({"params": params}, x, ctx)
+
+    # full attention from the same params, no shortcut
+    q = x @ params["to_q"]["kernel"]
+    k = ctx @ params["to_k"]["kernel"]
+    v = ctx @ params["to_v"]["kernel"]
+    inner = heads * hd
+    ref = attention_reference(
+        q.reshape(b, s, heads, hd),
+        k.reshape(b, 1, heads, hd),
+        v.reshape(b, 1, heads, hd),
+        hd**-0.5,
+    ).reshape(b, s, inner)
+    ref = ref @ params["to_out"]["kernel"] + params["to_out"]["bias"]
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+    # params for q/k must still exist for checkpoint-name parity
+    assert "to_q" in params and "to_k" in params

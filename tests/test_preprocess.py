@@ -120,3 +120,64 @@ def test_depth_registration_shifts_points():
     assert len(xs) == 1
     assert xs[0] == 90  # 0.1 m * 100 px / 1 m = +10 px
     assert ys[0] == 60
+
+
+def test_process_scene_dslr_end_to_end(tmp_path):
+    """Full DSLR preprocessing on a synthetic scene: PLY mesh + COLMAP text
+    model + fisheye JPEGs → undistorted webp RGB, mm-uint16 depth, normal
+    maps, scene_metadata.npz with c2w trajectories and the undistorted K."""
+    import os.path as osp
+
+    from PIL import Image
+
+    from unigeo_tpu.preprocess.rasterizer import write_ply_mesh
+    from unigeo_tpu.preprocess.scannetpp import process_scene_dslr
+
+    scene = tmp_path / "scene0"
+    (scene / "scans").mkdir(parents=True)
+    (scene / "dslr" / "colmap").mkdir(parents=True)
+    (scene / "dslr" / "images").mkdir(parents=True)
+
+    # camera-facing quad at z = 2
+    verts = np.array(
+        [[-2, -2, 2.0], [2, -2, 2.0], [2, 2, 2.0], [-2, 2, 2.0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    write_ply_mesh(str(scene / "scans" / "mesh_aligned_0.05.ply"), verts, faces)
+
+    w, h = 64, 48
+    (scene / "dslr" / "colmap" / "cameras.txt").write_text(
+        f"# cams\n1 OPENCV_FISHEYE {w} {h} 40.0 40.0 {w/2+0.5} {h/2+0.5} "
+        "0.03 -0.005 0.0 0.0\n"
+    )
+    (scene / "dslr" / "colmap" / "images.txt").write_text(
+        "# imgs\n"
+        "1 1 0 0 0 0 0 0 1 DSC00001.JPG\n"
+        "\n"
+        "2 1 0 0 0 0.1 0 0 1 DSC00002.JPG\n"
+        "\n"
+    )
+    (scene / "dslr" / "colmap" / "points3D.txt").write_text("# none\n")
+    for name in ("DSC00001.JPG", "DSC00002.JPG"):
+        Image.fromarray(
+            np.full((h, w, 3), 128, np.uint8)
+        ).save(scene / "dslr" / "images" / name)
+
+    out = tmp_path / "out"
+    n = process_scene_dslr(str(scene), str(out), verbose=False)
+    assert n == 2
+
+    meta = np.load(out / "scene_metadata.npz")
+    assert meta["trajectories"].shape == (2, 4, 4)
+    assert meta["intrinsics"].shape == (2, 3, 3)
+    # image 2's w2c translation (0.1, 0, 0) → c2w x = -0.1
+    assert np.isclose(meta["trajectories"][1][0, 3], -0.1, atol=1e-6)
+
+    depth = np.asarray(
+        Image.open(out / "depth" / "DSC00001.png"), np.uint16
+    )
+    hit = depth > 0
+    assert hit.mean() > 0.5  # quad spans the view
+    assert np.allclose(depth[hit] / 1000.0, 2.0, atol=2e-3)
+    assert osp.isfile(out / "images" / "DSC00001.webp")
+    assert osp.isfile(out / "normal" / "DSC00001.webp")

@@ -22,9 +22,16 @@ def main():
     parser.add_argument("--height", type=int, default=768)
     parser.add_argument("--width", type=int, default=1024)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument(
+        "--camera", choices=("iphone", "dslr"), default="iphone",
+        help="iphone = IMU-pose path; dslr = COLMAP poses + fisheye "
+             "undistortion (reference preprocess_scannetpp_imu.py:194-322)",
+    )
+    parser.add_argument("--balance", type=float, default=0.0,
+                        help="fisheye new-camera balance (dslr only)")
     args = parser.parse_args()
 
-    from unigeo_tpu.preprocess.scannetpp import process_scene
+    from unigeo_tpu.preprocess.scannetpp import process_scene, process_scene_dslr
 
     scenes = args.scenes or sorted(os.listdir(args.data_root))
     for scene in scenes:
@@ -33,13 +40,23 @@ def main():
             continue
         out_dir = os.path.join(args.out_root, scene)
         print(f"processing {scene} ...")
-        n = process_scene(
-            scene_dir,
-            out_dir,
-            target_hw=(args.height, args.width),
-            frame_stride=args.stride,
-            max_frames=args.max_frames,
-        )
+        if args.camera == "dslr":
+            n = process_scene_dslr(
+                scene_dir,
+                out_dir,
+                target_hw=(args.height, args.width),
+                frame_stride=args.stride,
+                max_frames=args.max_frames,
+                balance=args.balance,
+            )
+        else:
+            n = process_scene(
+                scene_dir,
+                out_dir,
+                target_hw=(args.height, args.width),
+                frame_stride=args.stride,
+                max_frames=args.max_frames,
+            )
         print(f"  {n} frames rendered → {out_dir}")
 
 

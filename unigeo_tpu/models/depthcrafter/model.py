@@ -67,10 +67,14 @@ class DepthCrafter:
         unet_path: Optional[str] = None,
         pre_train_path: Optional[str] = None,
         pipeline=None,
+        scheduler_config: Optional[Any] = None,
+        solver: str = "euler",
         **_: Dict,
     ):
         self.pipeline = pipeline or DepthCrafterPipeline(
-            unet_config=unet_config, vae_config=vae_config, clip_config=clip_config
+            unet_config=unet_config, vae_config=vae_config,
+            clip_config=clip_config, scheduler_config=scheduler_config,
+            solver=solver,
         )
         self.num_inference_steps = num_inference_steps
         self.overlap = overlap

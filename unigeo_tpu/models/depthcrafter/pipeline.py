@@ -54,11 +54,24 @@ class DepthCrafterPipeline:
         fps: float = 7.0,
         motion_bucket_id: float = 127.0,
         noise_aug_strength: float = 0.02,
+        scheduler_config: Optional[Any] = None,
+        solver: str = "euler",  # "euler" (SVD default) | "heun" (2nd order)
     ):
         self.unet = UNetSpatioTemporal(**(unet_config or {}))
         self.vae = AutoencoderKLTemporal(**(vae_config or {}))
         self.clip = ClipImageEmbedder(**(clip_config or {}))
-        self.scheduler = EulerDiscreteScheduler(EulerDiscreteConfig())
+        # scheduler_config: None (SVD defaults), a dict, a path to a
+        # diffusers scheduler_config.json, or a ready EulerDiscreteConfig
+        if scheduler_config is None:
+            sched_cfg = EulerDiscreteConfig()
+        elif isinstance(scheduler_config, EulerDiscreteConfig):
+            sched_cfg = scheduler_config
+        else:
+            sched_cfg = EulerDiscreteConfig.from_json(scheduler_config)
+        self.scheduler = EulerDiscreteScheduler(sched_cfg)
+        if solver not in ("euler", "heun"):
+            raise ValueError(f"unknown solver {solver!r}")
+        self.solver = solver
         self.dtype = dtype
         self.noise_aug_strength = noise_aug_strength
         self.added_time_ids = np.array(
@@ -135,9 +148,9 @@ class DepthCrafterPipeline:
         x = noise.astype(jnp.float32) * jnp.sqrt(sigmas[0] ** 2 + 1.0)
         added = jnp.asarray(self.added_time_ids)
 
-        def step(i, x):
+        def denoised_at(x, i):
+            """One UNet evaluation → EDM-denoised estimate at sigmas[i]."""
             sigma = sigmas[i]
-            sigma_next = sigmas[i + 1]
             x_in = self.scheduler.scale_model_input(x, sigma).astype(dtype)
             unet_in = jnp.concatenate([x_in, cond_latents], axis=-1)
             v = self.unet.apply(
@@ -148,10 +161,29 @@ class DepthCrafterPipeline:
                 added,
                 t,
             ).astype(jnp.float32)
-            denoised = self.scheduler.denoised_from_v(x, v, sigma)
-            return self.scheduler.euler_step(x, denoised, sigma, sigma_next)
+            return self.scheduler.denoised_from_v(x, v, sigma)
 
-        return jax.lax.fori_loop(0, num_inference_steps, step, x)
+        def euler_body(i, x):
+            return self.scheduler.euler_step(
+                x, denoised_at(x, i), sigmas[i], sigmas[i + 1]
+            )
+
+        if self.solver == "euler":
+            return jax.lax.fori_loop(0, num_inference_steps, euler_body, x)
+
+        # Heun: trapezoidal corrector with a second UNet eval at sigma_next;
+        # the final step (sigma_next = 0) is plain Euler, so the loop covers
+        # steps 0..n-2 and the last step runs outside it.
+        def heun_body(i, x):
+            sigma, sigma_next = sigmas[i], sigmas[i + 1]
+            dt = sigma_next - sigma
+            d1 = (x - denoised_at(x, i)) / sigma
+            x_pred = x + d1 * dt
+            d2 = (x_pred - denoised_at(x_pred, i + 1)) / sigma_next
+            return x + 0.5 * (d1 + d2) * dt
+
+        x = jax.lax.fori_loop(0, num_inference_steps - 1, heun_body, x)
+        return euler_body(num_inference_steps - 1, x)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _decode_stage(self, params, latents):

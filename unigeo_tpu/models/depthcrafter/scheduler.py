@@ -53,6 +53,21 @@ class EulerDiscreteConfig:
     timestep_type: str = "continuous"  # "discrete" | "continuous"
     karras_rho: float = 7.0
 
+    @classmethod
+    def from_json(cls, path_or_dict) -> "EulerDiscreteConfig":
+        """Build from a diffusers ``scheduler_config.json`` (as shipped inside
+        SVD/DepthCrafter checkpoint directories) or an already-parsed dict.
+        Unknown keys are ignored; missing keys keep the SVD defaults."""
+        if isinstance(path_or_dict, dict):
+            raw = path_or_dict
+        else:
+            import json
+
+            with open(path_or_dict) as f:
+                raw = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
 
 class EulerDiscreteScheduler:
     def __init__(self, config: EulerDiscreteConfig = EulerDiscreteConfig()):

@@ -161,7 +161,9 @@ class TransformerSpatioTemporal(nn.Module):
         # temporal cross-attention context: the keyview-frame embedding,
         # shared across spatial positions
         ctx_first = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
-        ctx_t = jnp.repeat(ctx_first, hh * ww, axis=0)
+        ctx_t = jnp.broadcast_to(
+            ctx_first[:, None], (b, hh * ww, *ctx_first.shape[1:])
+        ).reshape(b * hh * ww, *ctx_first.shape[1:])
         ht = TemporalTransformerBlock(
             self.num_heads, self.head_dim, self.context_dim,
             name="temporal_transformer_blocks_0",

@@ -83,9 +83,13 @@ class Attention(nn.Module):
     out_bias: bool = True
     qkv_bias: bool = False  # diffusers UNet: False; CLIP towers: True
     packed: bool = True  # packed-layout kernel on TPU (no head transposes)
+    rope_freq: Optional[float] = None  # CroCo/DUSt3R 2D RoPE base (e.g. 100)
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, pos=None, ctx_pos=None):
+        """pos / ctx_pos: [.., S, 2] integer (y, x) patch positions for 2D
+        RoPE on q / k (only when ``rope_freq`` is set); entries with y < 0
+        are left unrotated (positionless tokens)."""
         from unigeo_tpu.ops.attention import attention_packed, use_packed_attention
 
         c = x.shape[-1]
@@ -99,6 +103,31 @@ class Attention(nn.Module):
 
         b, s, _ = q.shape
         sk = k.shape[1]
+        if context is not None and sk == 1:
+            # Single-key cross-attention (SVD: context is one CLIP image
+            # embedding per frame, reference model/depthcrafter.py:79-90):
+            # softmax over one logit is identically 1, so the attention
+            # output equals v for every query — independent of q.  to_out is
+            # applied once to the [B, 1, C] value and broadcast; the q/k
+            # projections above stay for checkpoint-name parity and are
+            # dead-code-eliminated by XLA.
+            out = nn.Dense(c, use_bias=self.out_bias, name="to_out")(v)
+            return jnp.broadcast_to(out, (b, s, c))
+
+        if self.rope_freq is not None and pos is not None:
+            from unigeo_tpu.ops.rope import apply_rope_2d, rope_2d_cos_sin
+
+            qh = q.reshape(b, s, self.num_heads, head_dim)
+            cos_q, sin_q = rope_2d_cos_sin(head_dim, pos, self.rope_freq, q.dtype)
+            qh = apply_rope_2d(qh, cos_q, sin_q)
+            q = qh.reshape(b, s, inner)
+            kpos = pos if context is None else ctx_pos
+            if kpos is not None:
+                kh = k.reshape(b, sk, self.num_heads, head_dim)
+                cos_k, sin_k = rope_2d_cos_sin(
+                    head_dim, kpos, self.rope_freq, k.dtype
+                )
+                k = apply_rope_2d(kh, cos_k, sin_k).reshape(b, sk, inner)
         if self.packed and use_packed_attention(s, head_dim):
             # q/k/v stay in the [B, S, H·D] layout the projections emit and
             # the out-projection consumes — zero layout copies

@@ -43,14 +43,20 @@ class _RecurrentStep(nn.Module):
     dec_heads: int
     state_update_depth: int = 2
     return_hooks: bool = False  # per-layer outputs for a DPT head
+    pos_embed: str = "sincos"
+    qkv_bias: bool = False
+    norm_context: bool = False
 
     @nn.compact
-    def __call__(self, state, tok):
-        # frame tokens read the state
+    def __call__(self, state, tok, pos):
+        # frame tokens read the state (state tokens carry no grid position:
+        # ctx_pos=None leaves keys unrotated in RoPE mode)
         out = PointmapDecoder(
             self.dec_width, self.dec_depth, self.dec_heads,
-            return_hooks=self.return_hooks, name="decoder",
-        )(tok[None], state[None])
+            return_hooks=self.return_hooks, pos_embed=self.pos_embed,
+            qkv_bias=self.qkv_bias, norm_context=self.norm_context,
+            name="decoder",
+        )(tok[None], state[None], pos=pos)
         if self.return_hooks:
             dec, hooks = out[0][0], [h[0] for h in out[1]]
         else:
@@ -75,15 +81,26 @@ class Cut3RNetwork(nn.Module):
     patch_size: int = 16
     num_state_tokens: int = 64
     head_type: str = "linear"  # "linear" | "dpt" (the external nets use DPT)
+    pos_embed: str = "sincos"  # "RoPE100" = the DUSt3R/CroCo backbone mode
+    qkv_bias: bool = False
+    norm_context: bool = False
 
     @nn.compact
     def __call__(self, frames):
         """[T, H, W, 3] 0..1 → dict(self_pts, world_pts, conf, pose_enc)."""
+        from unigeo_tpu.models.pointmap.network import _rope_freq
+        from unigeo_tpu.ops.rope import grid_positions
+
         imgs = normalize_images(frames)
         enc_tokens, grid = PointmapEncoder(
             self.enc_width, self.enc_depth, self.enc_heads, self.patch_size,
-            name="encoder",
+            pos_embed=self.pos_embed, qkv_bias=self.qkv_bias, name="encoder",
         )(imgs)
+        pos = (
+            grid_positions(*grid)
+            if _rope_freq(self.pos_embed) is not None
+            else None
+        )
 
         state0 = self.param(
             "state_tokens",
@@ -94,14 +111,16 @@ class Cut3RNetwork(nn.Module):
             _RecurrentStep,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=0,
+            in_axes=(0, nn.broadcast),
             out_axes=0,
         )
         use_dpt = self.head_type == "dpt"
         _, ys = ScannedStep(
             self.dec_width, self.dec_depth, self.dec_heads,
-            return_hooks=use_dpt, name="recurrent_step",
-        )(state0, enc_tokens)
+            return_hooks=use_dpt, pos_embed=self.pos_embed,
+            qkv_bias=self.qkv_bias, norm_context=self.norm_context,
+            name="recurrent_step",
+        )(state0, enc_tokens, pos)
 
         if use_dpt:
             from unigeo_tpu.models.pointmap.dpt import DPTPointmapHead

@@ -25,21 +25,40 @@ from unigeo_tpu.models.vit import (
 )
 
 
+def _rope_freq(pos_embed: str) -> Optional[float]:
+    """'RoPE100' / 'rope100' → 100.0; 'sincos' → None (additive sin-cos)."""
+    if pos_embed.lower().startswith("rope"):
+        return float(pos_embed[4:] or 100.0)
+    return None
+
+
 class PointmapEncoder(nn.Module):
     width: int = 768
     depth: int = 8
     num_heads: int = 12
     patch_size: int = 16
+    pos_embed: str = "sincos"  # "sincos" | "RoPE100" (the DUSt3R/CroCo mode)
+    qkv_bias: bool = False  # CroCo ViTs: True
 
     @nn.compact
     def __call__(self, images):
         """[B, H, W, 3] (≈[-1,1]) → tokens [B, N, width], grid (gh, gw)."""
+        from unigeo_tpu.ops.rope import grid_positions
+
         tokens, (gh, gw) = PatchEmbed(self.width, self.patch_size, name="patch_embed")(
             images
         )
-        tokens = tokens + sincos_2d_pos_embed(self.width, gh, gw)[None]
-        tokens = ScannedViTBlocks(self.depth, self.num_heads, name="blocks")(tokens)
-        return nn.LayerNorm(name="norm")(tokens), (gh, gw)
+        freq = _rope_freq(self.pos_embed)
+        pos = None
+        if freq is None:
+            tokens = tokens + sincos_2d_pos_embed(self.width, gh, gw)[None]
+        else:
+            pos = grid_positions(gh, gw)[None]
+        tokens = ScannedViTBlocks(
+            self.depth, self.num_heads, qkv_bias=self.qkv_bias,
+            rope_freq=freq, name="blocks",
+        )(tokens, pos=pos)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tokens), (gh, gw)
 
 
 class PointmapDecoder(nn.Module):
@@ -47,19 +66,28 @@ class PointmapDecoder(nn.Module):
     depth: int = 6
     num_heads: int = 8
     return_hooks: bool = False  # also return 4 evenly-spaced layer outputs
+    pos_embed: str = "sincos"
+    qkv_bias: bool = False
+    norm_context: bool = False  # CroCo norm_y (per-block memory LayerNorm)
 
     @nn.compact
-    def __call__(self, tokens, context):
-        """tokens [B, N, C_enc] cross-attend to context [B, M, width]."""
+    def __call__(self, tokens, context, pos=None, ctx_pos=None):
+        """tokens [B, N, C_enc] cross-attend to context [B, M, width].
+
+        pos / ctx_pos: (y, x) patch positions for RoPE mode (entries with
+        y < 0 — e.g. state/memory tokens without a grid slot — unrotated).
+        """
         h = nn.Dense(self.width, name="proj_in")(tokens)
         out = ScannedViTBlocks(
             self.depth, self.num_heads, with_cross=True,
-            return_layers=self.return_hooks, name="blocks",
-        )(h, context)
+            return_layers=self.return_hooks, qkv_bias=self.qkv_bias,
+            rope_freq=_rope_freq(self.pos_embed),
+            norm_context=self.norm_context, name="blocks",
+        )(h, context, pos=pos, ctx_pos=ctx_pos)
         if not self.return_hooks:
-            return nn.LayerNorm(name="norm")(out)
+            return nn.LayerNorm(epsilon=1e-5, name="norm")(out)
         h, layers = out
-        final = nn.LayerNorm(name="norm")(h)
+        final = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         # DPT hook points: 4 evenly-spaced decoder depths, last = normed out
         # (dust3r dpt_head hooks analog)
         idx = [max(0, (self.depth * k) // 4 - 1) for k in (1, 2, 3)]

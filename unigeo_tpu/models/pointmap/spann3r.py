@@ -44,9 +44,12 @@ class _MemoryStep(nn.Module):
     dec_heads: int
     memory_frames: int
     return_hooks: bool = False  # per-layer outputs for a DPT head
+    pos_embed: str = "sincos"
+    qkv_bias: bool = False
+    norm_context: bool = False
 
     @nn.compact
-    def __call__(self, carry, tok):
+    def __call__(self, carry, tok, pos, ctx_pos):
         mem, mem_mask, slot = carry
         n_tok = tok.shape[0]
         # decode current frame against [its own projection ⊕ ring memory]
@@ -54,8 +57,10 @@ class _MemoryStep(nn.Module):
         ctx = jnp.concatenate([self_ctx, mem * mem_mask[:, None]], axis=0)
         out = PointmapDecoder(
             self.dec_width, self.dec_depth, self.dec_heads,
-            return_hooks=self.return_hooks, name="decoder",
-        )(tok[None], ctx[None])
+            return_hooks=self.return_hooks, pos_embed=self.pos_embed,
+            qkv_bias=self.qkv_bias, norm_context=self.norm_context,
+            name="decoder",
+        )(tok[None], ctx[None], pos=pos, ctx_pos=ctx_pos)
         if self.return_hooks:
             dec, hooks = out[0][0], [h[0] for h in out[1]]
         else:
@@ -82,17 +87,32 @@ class Spann3RNetwork(nn.Module):
     patch_size: int = 16
     memory_frames: int = 4  # ring buffer capacity (static)
     head_type: str = "linear"  # "linear" | "dpt" (the external nets use DPT)
+    pos_embed: str = "sincos"  # "RoPE100" = the DUSt3R/CroCo backbone mode
+    qkv_bias: bool = False  # CroCo ViTs: True
+    norm_context: bool = False  # CroCo norm_y in decoder blocks
 
     @nn.compact
     def __call__(self, frames):
         """frames [T, H, W, 3] in 0..1 → (world pts [T, H, W, 3], conf)."""
+        from unigeo_tpu.models.pointmap.network import _rope_freq
+        from unigeo_tpu.ops.rope import grid_positions
+
         t, h, w, _ = frames.shape
         imgs = normalize_images(frames)
         enc_tokens, grid = PointmapEncoder(
             self.enc_width, self.enc_depth, self.enc_heads, self.patch_size,
-            name="encoder",
+            pos_embed=self.pos_embed, qkv_bias=self.qkv_bias, name="encoder",
         )(imgs)  # [T, N, C]
         n_tok = enc_tokens.shape[1]
+
+        if _rope_freq(self.pos_embed) is not None:
+            pos = grid_positions(*grid)
+            # context = [self projection ⊕ ring memory]: all on the same grid
+            ctx_pos = jnp.concatenate(
+                [pos, jnp.tile(pos, (self.memory_frames, 1))], axis=0
+            )
+        else:
+            pos = ctx_pos = None
 
         mem_size = self.memory_frames * n_tok
         init_mem = jnp.zeros((mem_size, self.dec_width), enc_tokens.dtype)
@@ -102,14 +122,15 @@ class Spann3RNetwork(nn.Module):
             _MemoryStep,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=0,
+            in_axes=(0, nn.broadcast, nn.broadcast),
             out_axes=0,
         )
         use_dpt = self.head_type == "dpt"
         (_, _, _), ys = ScannedStep(
             self.dec_width, self.dec_depth, self.dec_heads, self.memory_frames,
-            use_dpt, name="memory_step",
-        )((init_mem, init_mask, jnp.int32(0)), enc_tokens)
+            use_dpt, self.pos_embed, self.qkv_bias, self.norm_context,
+            name="memory_step",
+        )((init_mem, init_mask, jnp.int32(0)), enc_tokens, pos, ctx_pos)
 
         if use_dpt:
             from unigeo_tpu.models.pointmap.dpt import DPTPointmapHead

@@ -34,7 +34,8 @@ class MLP(nn.Module):
         if self.act == "quick_gelu":
             h = h * jax.nn.sigmoid(1.702 * h)
         else:
-            h = nn.gelu(h)
+            # exact (erf) gelu — torch nn.GELU default, used by CroCo/DUSt3R
+            h = nn.gelu(h, approximate=False)
         return nn.Dense(c, name="fc2")(h)
 
 
@@ -42,16 +43,34 @@ class ViTBlock(nn.Module):
     num_heads: int
     qkv_bias: bool = False
     act: str = "gelu"
+    rope_freq: Optional[float] = None  # CroCo/DUSt3R 2D RoPE base
+    norm_context: bool = False  # CroCo decoder's per-block norm_y on memory
 
     @nn.compact
-    def __call__(self, x, context: Optional[jnp.ndarray] = None):
-        x = x + Attention(self.num_heads, qkv_bias=self.qkv_bias, name="attn")(
-            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        )
+    def __call__(
+        self,
+        x,
+        context: Optional[jnp.ndarray] = None,
+        pos: Optional[jnp.ndarray] = None,
+        ctx_pos: Optional[jnp.ndarray] = None,
+    ):
+        x = x + Attention(
+            self.num_heads, qkv_bias=self.qkv_bias, rope_freq=self.rope_freq,
+            name="attn",
+        )(nn.LayerNorm(epsilon=1e-5, name="norm1")(x), pos=pos)
         if context is not None:
+            ctx = (
+                nn.LayerNorm(epsilon=1e-5, name="norm_context")(context)
+                if self.norm_context
+                else context
+            )
             x = x + Attention(
-                self.num_heads, qkv_bias=self.qkv_bias, name="cross_attn"
-            )(nn.LayerNorm(epsilon=1e-5, name="norm_cross")(x), context)
+                self.num_heads, qkv_bias=self.qkv_bias,
+                rope_freq=self.rope_freq, name="cross_attn",
+            )(
+                nn.LayerNorm(epsilon=1e-5, name="norm_cross")(x), ctx,
+                pos=pos, ctx_pos=ctx_pos,
+            )
         x = x + MLP(act=self.act, name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         return x
 
@@ -64,12 +83,15 @@ class _BlockStep(nn.Module):
     qkv_bias: bool = False
     act: str = "gelu"
     collect: bool = False  # emit the layer output as a scan y (DPT hooks)
+    rope_freq: Optional[float] = None
+    norm_context: bool = False
 
     @nn.compact
-    def __call__(self, x, context):
-        x = ViTBlock(self.num_heads, self.qkv_bias, self.act, name="block")(
-            x, context if self.with_cross else None
-        )
+    def __call__(self, x, context, pos, ctx_pos):
+        x = ViTBlock(
+            self.num_heads, self.qkv_bias, self.act, self.rope_freq,
+            self.norm_context, name="block",
+        )(x, context if self.with_cross else None, pos, ctx_pos)
         return x, (x if self.collect else None)
 
 
@@ -87,9 +109,17 @@ class ScannedViTBlocks(nn.Module):
     qkv_bias: bool = False
     act: str = "gelu"
     return_layers: bool = False  # also return [depth, B, N, C] layer outputs
+    rope_freq: Optional[float] = None
+    norm_context: bool = False
 
     @nn.compact
-    def __call__(self, x, context: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x,
+        context: Optional[jnp.ndarray] = None,
+        pos: Optional[jnp.ndarray] = None,
+        ctx_pos: Optional[jnp.ndarray] = None,
+    ):
         Scan = nn.scan(
             _BlockStep,
             variable_axes={"params": 0},
@@ -99,8 +129,9 @@ class ScannedViTBlocks(nn.Module):
         )
         x, layers = Scan(
             self.num_heads, self.with_cross, self.qkv_bias, self.act,
-            self.return_layers, name="layers",
-        )(x, context)
+            self.return_layers, self.rope_freq, self.norm_context,
+            name="layers",
+        )(x, context, pos, ctx_pos)
         if self.return_layers:
             return x, layers
         return x

@@ -185,3 +185,17 @@ def read_ply_mesh(path: str):
             for j in range(1, k - 1):
                 faces.append([idx[0], idx[j], idx[j + 1]])
         return verts, np.asarray(faces, np.int64)
+
+
+def write_ply_mesh(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
+    """Minimal ascii PLY writer (fixtures/tests; read_ply_mesh's inverse)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in vertices:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for face in faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")

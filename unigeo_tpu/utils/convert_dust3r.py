@@ -88,26 +88,121 @@ def convert_dpt_head(state_dict: Dict[str, Any]) -> Dict[Tuple[str, ...], np.nda
 
 
 # ---------------------------------------------------------------------------
-# backbone renames (name-parity; see module docstring caveat on RoPE)
+# backbone conversion (CroCo/DUSt3R ViT → unigeo_tpu pointmap backbone)
+#
+# With the RoPE100 backbone mode (models/pointmap/network.py pos_embed=
+# "RoPE100", qkv_bias=True, norm_context=True) the converted weights are
+# numerics-equivalent — verified against a torch CroCo-style reimplementation
+# in tests/test_rope_parity.py.  Structural mapping:
+#   * enc_blocks.{i}.* / dec_blocks.{i}.* are stacked on a leading depth axis
+#     (our blocks run as ONE nn.scan program, params stacked on axis 0)
+#   * fused attn.qkv weights [3C, C] split into to_q / to_k / to_v
+#   * CroCo decoder norms: torch norm1 = self-attn (ours norm1), torch norm2
+#     gates CROSS-attn (ours norm_cross), torch norm3 gates the MLP (ours
+#     norm2), torch norm_y is the per-block memory norm (ours norm_context)
+#   * cross_attn.projq/projk/projv/proj → to_q/to_k/to_v/to_out
 # ---------------------------------------------------------------------------
 
-_BACKBONE_RULES = [
-    (r"^patch_embed\.proj\.", "patch_embed.proj."),
-    (r"^enc_blocks\.(\d+)\.", r"encoder.blocks.layers.\1.block."),
-    (r"^dec_blocks\.(\d+)\.", r"decoder.blocks.layers.\1.block."),
-    (r"^enc_norm\.", "encoder.norm."),
-    (r"^dec_norm\.", "decoder.norm."),
-    (r"^decoder_embed\.", "decoder.proj_in."),
-    (r"\.attn\.proj\.", ".attn.to_out."),
-    (r"\.cross_attn\.proj\.", ".cross_attn.to_out."),
-    (r"\.norm3\.", ".norm_cross."),  # croco decoder: norm3 gates cross-attn
-    (r"\.mlp\.fc1\.", ".mlp.fc1."),
-    (r"\.mlp\.fc2\.", ".mlp.fc2."),
-]
+
+def _linear(arr: np.ndarray) -> np.ndarray:
+    return np.transpose(arr, (1, 0)) if arr.ndim == 2 else arr
+
+
+def _block_entries(sub: str, arr: np.ndarray, dec: bool):
+    """One torch key inside an enc/dec block → [(flax subpath, array), ...]."""
+    leaf = "kernel" if sub.endswith(".weight") else "bias"
+    is_w = sub.endswith(".weight")
+    stem = sub.rsplit(".", 1)[0]
+    if stem == "attn.qkv":
+        q, k, v = np.split(arr, 3, axis=0)
+        return [
+            (("attn", f"to_{n}", leaf), _linear(t) if is_w else t)
+            for n, t in zip("qkv", (q, k, v))
+        ]
+    norm_map = (
+        {"norm1": "norm1", "norm2": "norm_cross", "norm3": "norm2",
+         "norm_y": "norm_context"}
+        if dec
+        else {"norm1": "norm1", "norm2": "norm2"}
+    )
+    if stem in norm_map:
+        return [((norm_map[stem], "scale" if is_w else "bias"), arr)]
+    proj_map = {
+        "attn.proj": ("attn", "to_out"),
+        "cross_attn.projq": ("cross_attn", "to_q"),
+        "cross_attn.projk": ("cross_attn", "to_k"),
+        "cross_attn.projv": ("cross_attn", "to_v"),
+        "cross_attn.proj": ("cross_attn", "to_out"),
+        "mlp.fc1": ("mlp", "fc1"),
+        "mlp.fc2": ("mlp", "fc2"),
+    }
+    if stem in proj_map:
+        return [(proj_map[stem] + (leaf,), _linear(arr) if is_w else arr)]
+    raise KeyError(f"unrecognized block key: {sub}")
+
+
+def convert_backbone(state_dict: Dict[str, Any]) -> Dict[Tuple[str, ...], np.ndarray]:
+    """CroCo/DUSt3R torch state dict → flat {flax path: array} with
+    enc/dec blocks stacked for the nn.scan layout.  Unrecognized keys
+    (downstream heads, mask tokens) are skipped — convert the DPT heads
+    separately via convert_dpt_head."""
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    stacks: Dict[Tuple[str, ...], Dict[int, np.ndarray]] = {}
+
+    top = {
+        "patch_embed.proj.weight": (
+            ("encoder", "patch_embed", "proj", "kernel"),
+            lambda a: np.transpose(a, (2, 3, 1, 0)),
+        ),
+        "patch_embed.proj.bias": (
+            ("encoder", "patch_embed", "proj", "bias"), lambda a: a),
+        "enc_norm.weight": (("encoder", "norm", "scale"), lambda a: a),
+        "enc_norm.bias": (("encoder", "norm", "bias"), lambda a: a),
+        "dec_norm.weight": (("decoder", "norm", "scale"), lambda a: a),
+        "dec_norm.bias": (("decoder", "norm", "bias"), lambda a: a),
+        "decoder_embed.weight": (("decoder", "proj_in", "kernel"), _linear),
+        "decoder_embed.bias": (("decoder", "proj_in", "bias"), lambda a: a),
+    }
+
+    blk = re.compile(r"^(enc|dec)_blocks\.(\d+)\.(.*)$")
+    for name, tensor in state_dict.items():
+        arr = tensor.numpy() if hasattr(tensor, "numpy") else np.asarray(tensor)
+        if name in top:
+            path, fn = top[name]
+            flat[path] = fn(arr)
+            continue
+        m = blk.match(name)
+        if not m:
+            continue  # heads / mask tokens: separate converters
+        which, idx, sub = m.group(1), int(m.group(2)), m.group(3)
+        root = ("encoder" if which == "enc" else "decoder",
+                "blocks", "layers", "block")
+        for subpath, val in _block_entries(sub, arr, dec=(which == "dec")):
+            stacks.setdefault(root + subpath, {})[idx] = val
+
+    for path, by_idx in stacks.items():
+        depth = max(by_idx) + 1
+        assert sorted(by_idx) == list(range(depth)), f"missing layers at {path}"
+        flat[path] = np.stack([by_idx[i] for i in range(depth)])
+    return flat
 
 
 def rename_backbone_key(name: str) -> Tuple[str, ...]:
-    for pattern, repl in _BACKBONE_RULES:
+    """Single-key rename (legacy helper; convert_backbone is the real path —
+    it also splits fused qkv and stacks scan layers, which a pure rename
+    cannot express)."""
+    rules = [
+        (r"^enc_blocks\.(\d+)\.", r"encoder.blocks.layers.\1.block."),
+        (r"^dec_blocks\.(\d+)\.", r"decoder.blocks.layers.\1.block."),
+        (r"^enc_norm\.", "encoder.norm."),
+        (r"^dec_norm\.", "decoder.norm."),
+        (r"^decoder_embed\.", "decoder.proj_in."),
+        (r"\.attn\.proj\.", ".attn.to_out."),
+        (r"\.cross_attn\.proj\.", ".cross_attn.to_out."),
+        (r"\.mlp\.fc1\.", ".mlp.fc1."),
+        (r"\.mlp\.fc2\.", ".mlp.fc2."),
+    ]
+    for pattern, repl in rules:
         name = re.sub(pattern, repl, name)
     parts = name.split(".")
     leaf = parts[-1]
