@@ -198,3 +198,40 @@ def test_depth_eval_disp_input_and_lad2(rng):
     res2, *_ = depth_evaluation(pred, gt, alignment="lad2", max_iters=200, lr=1e-2)
     assert res2["Abs Rel"] < 0.5
     assert np.isfinite(res2["RMSE"])
+
+
+def test_generic_vis_tiling():
+    """Generic tensor→image vis surface (reference dataset_core/utils/
+    vis.py:165-379): colormapping with invalid handling, layout coercion,
+    label overlay, batch tiling."""
+    import numpy as np
+
+    from unigeo_tpu.utils.vis import (
+        overlay_text,
+        tile_images,
+        vis_2d_array,
+        vis_image,
+    )
+
+    a = np.random.default_rng(0).random((16, 20))
+    a[0, 0] = np.nan
+    v = vis_2d_array(a)
+    assert v.shape == (16, 20, 3) and v.dtype == np.uint8
+    assert (v[0, 0] == 0).all()  # invalid → black
+    # mask support
+    m = np.ones_like(a)
+    m[:, :10] = 0
+    vm = vis_2d_array(a, mask=m)
+    assert (vm[:, :10] == 0).all()
+
+    assert vis_image(np.random.rand(3, 8, 9)).shape == (8, 9, 3)  # CHW → HWC
+    assert vis_image(np.zeros((5, 6), np.uint8)).shape == (5, 6, 3)
+
+    lab = overlay_text(np.zeros((12, 40, 3), np.uint8), "x")
+    assert lab.sum() > 0  # text drew something
+
+    mosaic = tile_images(
+        [np.random.rand(8, 9, 3), np.random.rand(6, 4)], labels=["a", "b"]
+    )
+    assert mosaic.dtype == np.uint8 and mosaic.ndim == 3
+    assert mosaic.shape[1] > 18  # two columns

@@ -1,6 +1,7 @@
 """Tests for the pointmap model family + StableNormal through the full
 eval pipeline (tiny configs)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -98,3 +99,42 @@ def test_unigeo_cam_contract(clip, shared_tiny_pipeline):
         assert key in out and np.isfinite(out[key]).all(), key
     assert out["pred_poses"].shape == (2, 4, 4)
     assert (out["pred_depths"] > 0).all()
+
+
+def test_spann3r_rope_dpt_mode(clip):
+    """The DUSt3R-parity backbone mode (RoPE100, qkv biases, norm_context,
+    DPT head) — the config under which converted real weights are numerics-
+    equivalent — runs end-to-end and honors the output contract."""
+    cfg = dict(
+        tiny_spann3r_config(),
+        pos_embed="RoPE100", qkv_bias=True, norm_context=True,
+        head_type="dpt",
+    )
+    model = Spann3R(
+        network_config=cfg, init_height=64, init_width=64, init_frames=2,
+    )
+    out = model.forward(clip)
+    assert out["pred_world_pts"].shape == (2, 64, 64, 3)
+    for key in out:
+        assert np.isfinite(out[key]).all(), key
+    # rope params must NOT add an additive positional table
+    flat = jax.tree_util.tree_flatten_with_path(model.params)[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert not any("pos_embed" in n for n in names)
+    # croco qkv biases present
+    assert any("to_q" in n and "bias" in n for n in names)
+
+
+def test_cut3r_rope_mode(clip):
+    cfg = dict(
+        tiny_cut3r_config(), pos_embed="RoPE100", qkv_bias=True,
+        norm_context=True,
+    )
+    model = Cut3R(
+        network_config=cfg, init_height=64, init_width=64, init_frames=2,
+    )
+    out = model.forward(clip)
+    assert out["pred_world_pts"].shape == (2, 64, 64, 3)
+    for key in out:
+        if isinstance(out[key], np.ndarray):
+            assert np.isfinite(out[key]).all(), key

@@ -41,6 +41,8 @@ def _rtt():
 
 
 def _time(fn, *args, reps=5, rtt=0.0):
+    """fn(*args) with ALL arrays (incl. params) passed as arguments —
+    closed-over params lower as constants (GBs -> remote-compile 413)."""
     s = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
     float(s(*args))  # compile
     times = []
@@ -81,6 +83,8 @@ def main():
 
     def record(name, secs, mult):
         rows.append((name, secs * 1e3, mult, secs * mult * 1e3))
+        print(f"{name:46s} {secs*1e3:9.2f} x{mult:<3d} {secs*mult*1e3:9.2f}",
+              flush=True)
 
     # --- UNet blocks per stage ---
     for i, (ch, nh) in enumerate(zip(chans, heads)):
@@ -91,7 +95,7 @@ def main():
         p = jax.jit(lambda r, xx, ee: res.init(r, xx, ee, t))(rng, x, emb)["params"]
         p = jax.tree.map(lambda a: a.astype(DTYPE), p)
         secs = _time(
-            lambda xx, ee: res.apply({"params": p}, xx, ee, t), x, emb,
+            lambda pp, xx, ee: res.apply({"params": pp}, xx, ee, t), p, x, emb,
             reps=args.reps, rtt=rtt,
         )
         # down path: 2 res blocks/stage; up path: 3; mid: 2 at stage 3
@@ -105,8 +109,8 @@ def main():
             pt = jax.jit(lambda r, xx, cc: tr.init(r, xx, cc, t))(rng, x, ctx)["params"]
             pt = jax.tree.map(lambda a: a.astype(DTYPE), pt)
             secs = _time(
-                lambda xx, cc: tr.apply({"params": pt}, xx, cc, t), x, ctx,
-                reps=args.reps, rtt=rtt,
+                lambda pp, xx, cc: tr.apply({"params": pp}, xx, cc, t),
+                pt, x, ctx, reps=args.reps, rtt=rtt,
             )
             mult = 5 if has_attn else 1  # 2 down + 3 up, or mid only
             record(f"transformer stage{i} {hh}x{ww}x{ch} h{nh}", secs, mult)
@@ -123,10 +127,10 @@ def main():
         lambda s: jax.random.normal(rng, s.shape, DTYPE) * 0.02, pu
     )
     secs_unet = _time(
-        lambda xx, cc: unet.apply(
-            {"params": pu}, xx, jnp.full((1,), 500.0), cc, added, t
+        lambda pp, xx, cc: unet.apply(
+            {"params": pp}, xx, jnp.full((1,), 500.0), cc, added, t
         ),
-        sample, ctx, reps=args.reps, rtt=rtt,
+        pu, sample, ctx, reps=args.reps, rtt=rtt,
     )
     record(f"FULL UNet step {lh}x{lw}", secs_unet, 5)
 
@@ -139,13 +143,13 @@ def main():
         lambda s: jax.random.normal(rng, s.shape, DTYPE) * 0.02, pv
     )
     secs = _time(
-        lambda f: vae.apply({"params": pv}, f, method=vae.encode), frames,
-        reps=args.reps, rtt=rtt,
+        lambda pp, f: vae.apply({"params": pp}, f, method=vae.encode),
+        pv, frames, reps=args.reps, rtt=rtt,
     )
     record(f"VAE encode {H}x{W}", secs, 1)
     secs = _time(
-        lambda z: vae.apply({"params": pv}, z, t, method=vae.decode), lat,
-        reps=args.reps, rtt=rtt,
+        lambda pp, z: vae.apply({"params": pp}, z, t, method=vae.decode),
+        pv, lat, reps=args.reps, rtt=rtt,
     )
     record(f"VAE decode {H}x{W}", secs, 1)
 
@@ -156,8 +160,8 @@ def main():
         lambda s: jax.random.normal(rng, s.shape, DTYPE) * 0.02, pc
     )
     secs = _time(
-        lambda f: clip.apply({"params": pc}, f), frames, reps=args.reps,
-        rtt=rtt,
+        lambda pp, f: clip.apply({"params": pp}, f), pc, frames,
+        reps=args.reps, rtt=rtt,
     )
     record("CLIP embed", secs, 1)
 

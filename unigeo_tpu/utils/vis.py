@@ -113,3 +113,88 @@ def save_depth_normal_maps(depths, normals, save_dir: str, rgbs=None):
             panels.append(normal_to_rgb(normals[i]))
         strip = np.concatenate(panels, axis=1)
         Image.fromarray(strip).save(os.path.join(save_dir, f"{i:04d}.webp"))
+
+
+# ---------------------------------------------------------------------------
+# Generic tensor→image visualization (the robustmvd vis library surface the
+# reference carries in dataset_core/utils/vis.py:165-379: colormapping with
+# range handling, text overlay, batch tiling into one mosaic).
+# ---------------------------------------------------------------------------
+
+def vis_2d_array(
+    arr: np.ndarray,
+    cmap: str = "Spectral_r",
+    vmin: Optional[float] = None,
+    vmax: Optional[float] = None,
+    mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """[H, W] scalar array → [H, W, 3] uint8 via a matplotlib colormap.
+
+    Range defaults to the finite (and masked-in) data extent; NaN/inf and
+    masked-out pixels render black (reference vis.py's invalid handling).
+    """
+    a = np.asarray(arr, np.float64)
+    valid = np.isfinite(a)
+    if mask is not None:
+        valid &= np.asarray(mask) > 0
+    if vmin is None:
+        vmin = float(a[valid].min()) if valid.any() else 0.0
+    if vmax is None:
+        vmax = float(a[valid].max()) if valid.any() else 1.0
+    rgb = colorize(np.where(valid, a, vmin), vmin=vmin, vmax=vmax, cmap=cmap)
+    rgb = np.where(valid[..., None], rgb, 0)
+    return rgb.astype(np.uint8)
+
+
+def vis_image(img: np.ndarray) -> np.ndarray:
+    """Any image-ish tensor → [H, W, 3] uint8: accepts [3,H,W] or [H,W,3] or
+    [H,W], float 0..1 / 0..255 or uint8."""
+    a = np.asarray(img)
+    if a.ndim == 3 and a.shape[0] in (1, 3) and a.shape[-1] not in (1, 3):
+        a = np.moveaxis(a, 0, -1)
+    if a.ndim == 2:
+        a = np.repeat(a[..., None], 3, axis=-1)
+    if a.shape[-1] == 1:
+        a = np.repeat(a, 3, axis=-1)
+    if a.dtype != np.uint8:
+        amax = np.nanmax(a) if a.size else 1.0
+        scale = 255.0 if amax <= 1.0 + 1e-6 else 1.0
+        a = np.clip(np.nan_to_num(a) * scale, 0, 255).astype(np.uint8)
+    return a
+
+
+def overlay_text(img: np.ndarray, text: str, color=(255, 255, 255)) -> np.ndarray:
+    """Draw a small label into the top-left corner (PIL default font)."""
+    from PIL import Image, ImageDraw
+
+    im = Image.fromarray(vis_image(img))
+    ImageDraw.Draw(im).text((2, 2), text, fill=tuple(color))
+    return np.asarray(im)
+
+
+def tile_images(
+    images,
+    cols: Optional[int] = None,
+    labels=None,
+    pad: int = 2,
+    pad_value: int = 0,
+) -> np.ndarray:
+    """Tile a list/batch of images into one [H', W', 3] uint8 mosaic
+    (reference vis.py's batch tiling).  Images may differ in size; each cell
+    is padded to the max tile size."""
+    imgs = [vis_image(im) for im in images]
+    if labels is not None:
+        imgs = [overlay_text(im, str(lb)) for im, lb in zip(imgs, labels)]
+    n = len(imgs)
+    if n == 0:
+        return np.zeros((1, 1, 3), np.uint8)
+    cols = cols or int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    th = max(im.shape[0] for im in imgs) + pad
+    tw = max(im.shape[1] for im in imgs) + pad
+    out = np.full((rows * th + pad, cols * tw + pad, 3), pad_value, np.uint8)
+    for i, im in enumerate(imgs):
+        r, c = divmod(i, cols)
+        y, x = r * th + pad, c * tw + pad
+        out[y : y + im.shape[0], x : x + im.shape[1]] = im
+    return out
