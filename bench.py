@@ -84,6 +84,10 @@ def main():
     h = int(os.environ.get("BENCH_H", "64" if small else "384"))
     w = int(os.environ.get("BENCH_W", "64" if small else "512"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # Throughput mode: B clips batched through one denoise program, per-clip
+    # encode/decode.  Default 1: measured on v5e at headline shapes, batching
+    # loses (11.46/11.11/10.99 fps at B=1/2/3) — matmuls are already wide.
+    clips = int(os.environ.get("BENCH_CLIPS_PER_STEP", "1"))
     steps = 5
 
     if small:
@@ -123,6 +127,8 @@ def main():
         np.random.default_rng(0).uniform(size=(t, h, w, 3)).astype(np.float32)
     )
     noise = jax.random.normal(jax.random.PRNGKey(1), (t, h // 8, w // 8, 4))
+    frames_b = jnp.broadcast_to(frames, (clips, *frames.shape))
+    noise_b = jnp.broadcast_to(noise, (clips, *noise.shape))
 
     # On tunneled backends block_until_ready returns at enqueue time, so
     # sync on a SCALAR host fetch and subtract the measured round trip.
@@ -132,7 +138,10 @@ def main():
     trivial = jax.jit(lambda x: x + 1.0)
 
     def run():
-        out = pipe.run_window_staged(pipe.params, frames, noise, steps)
+        if clips > 1:
+            out = pipe.run_clips_staged(pipe.params, frames_b, noise_b, steps)
+        else:
+            out = pipe.run_window_staged(pipe.params, frames, noise, steps)
         return float(final_sum(out))
 
     run()  # compile (excluded)
@@ -152,14 +161,14 @@ def main():
         times.append(time.perf_counter() - t0)
 
     best = max(min(times) - rtt, 1e-9)
-    fps = t / best
+    fps = clips * t / best
 
     # MFU: total program FLOPs (XLA cost analysis over the three stages)
     # against the chip's bf16 peak.
     flops = 0.0
     try:
         cls = type(pipe)
-        flops += _stage_flops(
+        flops += clips * _stage_flops(
             cls._encode_stage.lower(pipe, pipe.params, frames, None).compile()
         )
         lat_shape = jax.ShapeDtypeStruct((t, h // 8, w // 8, 4), jnp.bfloat16)
@@ -167,23 +176,34 @@ def main():
             (t, 1, pipe.unet.cross_attention_dim), jnp.bfloat16
         )
         noise_shape = jax.ShapeDtypeStruct((t, h // 8, w // 8, 4), jnp.float32)
-        flops += _stage_flops(
-            cls._denoise_stage.lower(
-                pipe, pipe.params, lat_shape, ctx_shape, noise_shape, steps
-            ).compile()
-        )
-        flops += _stage_flops(
+        if clips > 1:
+            blat = jax.ShapeDtypeStruct((clips, *lat_shape.shape), jnp.bfloat16)
+            bctx = jax.ShapeDtypeStruct((clips, *ctx_shape.shape), jnp.bfloat16)
+            bnoise = jax.ShapeDtypeStruct((clips, *noise_shape.shape), jnp.float32)
+            flops += _stage_flops(
+                cls._denoise_stage_batched.lower(
+                    pipe, pipe.params, blat, bctx, bnoise, steps
+                ).compile()
+            )
+        else:
+            flops += _stage_flops(
+                cls._denoise_stage.lower(
+                    pipe, pipe.params, lat_shape, ctx_shape, noise_shape, steps
+                ).compile()
+            )
+        flops += clips * _stage_flops(
             cls._decode_stage.lower(pipe, pipe.params, lat_shape).compile()
         )
     except Exception:
         flops = 0.0
     mfu = round(flops / best / _peak_flops(), 4) if flops > 0 else None
 
+    batched = f", {clips} clips/denoise-step" if clips > 1 else ""
     print(
         json.dumps(
             {
                 "metric": "frames/sec/chip, DepthCrafter "
-                f"{t}-frame {h}x{w} clip, 5 denoise steps",
+                f"{t}-frame {h}x{w} clips, 5 denoise steps{batched}",
                 "value": round(fps, 4),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / A100_REF_FPS, 4),

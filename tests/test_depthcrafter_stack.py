@@ -247,3 +247,56 @@ def test_pipeline_heun_solver_runs():
     assert out_h.shape == out_e.shape
     assert np.isfinite(out_h).all()
     assert np.abs(out_h - out_e).max() > 1e-7
+
+
+def test_batched_denoise_matches_serial(shared_tiny_pipeline):
+    """run_clips_staged (B clips through ONE denoise program — the
+    single-chip throughput mode) reproduces the serial per-clip staged path:
+    the batch axis only widens matmul M, every norm/attention grouping is
+    per clip."""
+    pipe = shared_tiny_pipeline
+    rng = np.random.default_rng(7)
+    b, t, h, w = 3, 2, 64, 64
+    frames = jnp.asarray(rng.uniform(size=(b, t, h, w, 3)), jnp.float32)
+    noise = jnp.asarray(rng.normal(size=(b, t, h // 8, w // 8, 4)), jnp.float32)
+    aug = jnp.asarray(rng.normal(size=(b, t, h, w, 3)), jnp.float32)
+    batched = np.asarray(
+        pipe.run_clips_staged(pipe.params, frames, noise, 2, aug_noise=aug)
+    )
+    for i in range(b):
+        serial = np.asarray(
+            pipe.run_window_staged(
+                pipe.params, frames[i], noise[i], 2, aug_noise=aug[i]
+            )
+        )
+        # differently-shaped compiled programs fuse/reorder f32 reductions
+        # differently; ~1e-4 is compiler noise, not a numerics bug
+        assert np.abs(batched[i] - serial).max() < 5e-4
+
+
+def test_adapter_forward_batch_single_chip(shared_tiny_pipeline, monkeypatch):
+    """On ONE device forward_batch takes the batched-denoise path (not the
+    SPMD executor) and matches forward per clip."""
+    from unigeo_tpu.data.synthetic import SyntheticBoxDataset
+    from unigeo_tpu.models.depthcrafter.model import DepthCrafter
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [jax.local_devices()[0]])
+    assert len(jax.devices()) == 1
+
+    ds = SyntheticBoxDataset(
+        clip_length=2, clip_overlap=0, num_scenes=2, frames_per_scene=2,
+        render_size=(64, 64),
+    )
+    model = DepthCrafter(
+        num_inference_steps=2, pipeline=shared_tiny_pipeline, clips_per_step=2
+    )
+    assert model.eval_batch_size == 2
+    datas = [ds[0], ds[1]]
+    outs = model.forward_batch(datas)
+    assert len(outs) == 2
+    for data, out in zip(datas, outs):
+        ref = model.forward(data)
+        # depth = 1/(minmax(x)+0.1) amplifies the ~1e-4 cross-program decode
+        # noise by up to 100x; ~2e-3 on O(1..10) depths is compiler noise
+        assert np.abs(out["pred_depths"] - ref["pred_depths"]).max() < 1e-2
+        assert np.abs(out["pred_normals"] - ref["pred_normals"]).max() < 5e-2

@@ -153,7 +153,12 @@ def run_evaluation(
         if hasattr(model, "forward_batch"):
             import jax
 
-            data_parallel = len(jax.devices()) > 1
+            # on when >1 chip (dp sharding) OR the model advertises a
+            # single-chip throughput batch (e.g. DepthCrafter batched denoise)
+            data_parallel = (
+                len(jax.devices()) > 1
+                or getattr(model, "eval_batch_size", 1) > 1
+            )
         else:
             data_parallel = False
     if data_parallel and not hasattr(model, "forward_batch"):
@@ -164,7 +169,9 @@ def run_evaluation(
     if data_parallel:
         import jax
 
-        batch_size = max(1, len(jax.devices()))
+        batch_size = max(
+            1, len(jax.devices()), getattr(model, "eval_batch_size", 1)
+        )
 
     def _record(seq: str, data, output) -> None:
         gt_label = prepare_gt_label(data)

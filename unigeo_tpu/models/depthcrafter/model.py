@@ -69,6 +69,7 @@ class DepthCrafter:
         pipeline=None,
         scheduler_config: Optional[Any] = None,
         solver: str = "euler",
+        clips_per_step: int = 1,
         **_: Dict,
     ):
         self.pipeline = pipeline or DepthCrafterPipeline(
@@ -80,6 +81,14 @@ class DepthCrafter:
         self.overlap = overlap
         self.window_size = window_size
         self.seed = seed
+        # clips batched through one denoise program on a single chip (the
+        # evaluator reads eval_batch_size; encode/decode stay per-clip —
+        # decode OOMs at B≥2 at headline shapes).  Default 1: measured on
+        # v5e at 25×384×512, batching LOSES throughput (11.46 → 11.11 →
+        # 10.99 fps/chip at B=1/2/3 — the UNet's matmuls are already wide,
+        # M = T·H/8·W/8, so B only adds memory pressure).  The knob stays
+        # for smaller clips/resolutions where M is thin.
+        self.clips_per_step = max(1, clips_per_step)
         if checkpoint_path:
             from unigeo_tpu.utils.checkpoint import load_params
 
@@ -130,9 +139,19 @@ class DepthCrafter:
             )
         return self._executor
 
-    def forward_batch(self, datas) -> list:
-        """Score a list of equally-shaped clips in one dp-sharded step.
+    @property
+    def eval_batch_size(self) -> int:
+        """Clips the evaluator should hand to forward_batch at once:
+        dp-width on a mesh, clips_per_step on a single chip."""
+        n = len(jax.devices())
+        return n if n > 1 else self.clips_per_step
 
+    def forward_batch(self, datas) -> list:
+        """Score a list of equally-shaped clips in one denoise step.
+
+        Multi-device: the SPMD dp executor (clips sharded over the mesh).
+        Single device: the batched-denoise throughput path
+        (pipeline.run_clips_staged).
         Numerics match ``forward``: the serial path draws the SAME noise for
         every clip (fixed seed, model/depthcrafter.py:79-90 analog), so the
         batch uses one broadcast noise tensor.
@@ -141,13 +160,33 @@ class DepthCrafter:
         b, t, h, w, _ = frames.shape
         if self.window_size and self.window_size < t:
             return [self.forward(d) for d in datas]  # windowed path is serial
+        rng = jax.random.PRNGKey(self.seed)
         noise = np.broadcast_to(
-            np.asarray(
-                jax.random.normal(
-                    jax.random.PRNGKey(self.seed), (t, h // 8, w // 8, 4), jnp.float32
-                )
-            ),
+            np.asarray(jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)),
             (b, t, h // 8, w // 8, 4),
         )
-        decoded = self._get_executor()(frames, seed=self.seed, noise=noise)
+        if len(jax.devices()) > 1:
+            decoded = self._get_executor()(frames, seed=self.seed, noise=noise)
+        else:
+            pipe = self.pipeline
+            aug = None
+            if pipe.noise_aug_strength > 0:
+                # the exact aug noise the serial __call__ draws per clip
+                aug = np.broadcast_to(
+                    np.asarray(
+                        jax.random.normal(
+                            jax.random.fold_in(rng, 0xA06), (t, h, w, 3),
+                            jnp.float32,
+                        )
+                    ),
+                    (b, t, h, w, 3),
+                )
+            out = pipe.run_clips_staged(
+                pipe.params,
+                jnp.asarray(frames),
+                jnp.asarray(noise),
+                self.num_inference_steps,
+                aug_noise=None if aug is None else jnp.asarray(aug),
+            )
+            decoded = (np.asarray(out) + 1.0) / 2.0
         return [self._finalize(decoded[i], d) for i, d in enumerate(datas)]

@@ -137,30 +137,39 @@ class DepthCrafterPipeline:
         ).astype(dtype)
         return cond_latents, context
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
-    def _denoise_stage(self, params, cond_latents, context, noise,
-                       num_inference_steps: int):
-        t = cond_latents.shape[0]
+    def _denoise_loop(self, params, cond_latents, context, noise,
+                      num_inference_steps: int):
+        """Shared denoise loop over [B, T, h, w, 4] batches of clips.
+
+        The UNet natively takes B clips (sample [B*T,...], timesteps [B],
+        added_time_ids [B,3]); all norm/attention groupings are per clip, so
+        each batch entry computes exactly what the B=1 program computes.
+        """
+        b, t = cond_latents.shape[:2]
         dtype = self.dtype
         sigmas_np = self.scheduler.inference_sigmas(num_inference_steps)
         sigmas = jnp.asarray(sigmas_np)
         timesteps = jnp.asarray(self.scheduler.timesteps_for_sigmas(sigmas_np[:-1]))
         x = noise.astype(jnp.float32) * jnp.sqrt(sigmas[0] ** 2 + 1.0)
-        added = jnp.asarray(self.added_time_ids)
+        added = jnp.broadcast_to(jnp.asarray(self.added_time_ids), (b, 3))
+        cond_flat = cond_latents.reshape(b * t, *cond_latents.shape[2:])
+        ctx_flat = context.reshape(b * t, *context.shape[2:])
 
         def denoised_at(x, i):
             """One UNet evaluation → EDM-denoised estimate at sigmas[i]."""
             sigma = sigmas[i]
             x_in = self.scheduler.scale_model_input(x, sigma).astype(dtype)
-            unet_in = jnp.concatenate([x_in, cond_latents], axis=-1)
+            unet_in = jnp.concatenate(
+                [x_in.reshape(b * t, *x_in.shape[2:]), cond_flat], axis=-1
+            )
             v = self.unet.apply(
                 {"params": params["unet"]},
                 unet_in,
-                jnp.full((1,), timesteps[i]),
-                context,
+                jnp.full((b,), timesteps[i]),
+                ctx_flat,
                 added,
                 t,
-            ).astype(jnp.float32)
+            ).astype(jnp.float32).reshape(x.shape)
             return self.scheduler.denoised_from_v(x, v, sigma)
 
         def euler_body(i, x):
@@ -185,6 +194,28 @@ class DepthCrafterPipeline:
         x = jax.lax.fori_loop(0, num_inference_steps - 1, heun_body, x)
         return euler_body(num_inference_steps - 1, x)
 
+    @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
+    def _denoise_stage(self, params, cond_latents, context, noise,
+                       num_inference_steps: int):
+        return self._denoise_loop(
+            params, cond_latents[None], context[None], noise[None],
+            num_inference_steps,
+        )[0]
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
+    def _denoise_stage_batched(self, params, cond_latents, context, noise,
+                               num_inference_steps: int):
+        """Throughput mode: B clips through ONE denoise program.
+
+        Denoise is the under-utilized stage (small per-frame matmuls leave
+        MXU headroom); batching multiplies every matmul's M by B.  Encode /
+        decode stay per-clip — the VAE decoder is already compute-bound and
+        OOMs at B≥2 at the headline shapes (measured, ROADMAP round 3).
+        """
+        return self._denoise_loop(
+            params, cond_latents, context, noise, num_inference_steps
+        )
+
     @functools.partial(jax.jit, static_argnames=("self",))
     def _decode_stage(self, params, latents):
         t = latents.shape[0]
@@ -201,6 +232,31 @@ class DepthCrafterPipeline:
         x = self._denoise_stage(params, cond_latents, context, noise,
                                 num_inference_steps)
         return self._decode_stage(params, x)
+
+    def run_clips_staged(self, params, frames, noise,
+                         num_inference_steps: int, aug_noise=None):
+        """Single-chip throughput path: B clips per denoise program.
+
+        frames [B,T,H,W,3], noise [B,T,h,w,4] → decoded [B,T,H,W,3].
+        Encode and decode run per clip (serial enqueues, async dispatch);
+        the denoise loop — the stage with MXU headroom — runs batched.
+        Per-clip numerics match run_window_staged (see _denoise_loop).
+        """
+        b = frames.shape[0]
+        encoded = [
+            self._encode_stage(
+                params, frames[i], None if aug_noise is None else aug_noise[i]
+            )
+            for i in range(b)
+        ]
+        cond = jnp.stack([c for c, _ in encoded])
+        ctx = jnp.stack([c for _, c in encoded])
+        x = self._denoise_stage_batched(
+            params, cond, ctx, noise, num_inference_steps
+        )
+        return jnp.stack(
+            [self._decode_stage(params, x[i]) for i in range(b)]
+        )
 
     @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
     def _run_window(self, params, frames, noise, num_inference_steps: int,
