@@ -147,8 +147,14 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        # exact (erf) gelu — torch F.gelu default, used by diffusers GEGLU
-        return h * nn.gelu(gate, approximate=False)
+        # exact (erf) gelu — torch F.gelu default, used by diffusers GEGLU.
+        # In bf16 the erf evaluation is pure VPU overhead (+0.9 ms per FF at
+        # UNet stage-0 shapes, measured): the tanh approximation's max error
+        # vs erf-gelu (~3e-4 absolute) is below bf16 round-off (ulp ≈ 8e-3
+        # at |x|=1), so bf16 activations use it; f32 (parity tests, oracle
+        # comparisons vs torch) keeps the exact form.
+        exact = gate.dtype != jnp.bfloat16
+        return h * nn.gelu(gate, approximate=not exact)
 
 
 class FeedForward(nn.Module):

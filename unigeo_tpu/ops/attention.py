@@ -37,10 +37,21 @@ def attention_reference(q, k, v, scale=None, k_chunk: int = 512):
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    sk = k.shape[1]
+    if sk <= k_chunk:
+        # Single-chunk: plain dense softmax-attention in the NATIVE
+        # [B, S, H, D] layout — no moveaxis copies and none of the
+        # scan/carry machinery, which together cost ~5x at the UNet's
+        # 25-frame temporal attention ([3072, 25, 5·64] on v5e).
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        m = s.max(-1, keepdims=True)
+        p = jnp.exp(s - m)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v) / jnp.maximum(
+            p.sum(-1, keepdims=True), 1e-30
+        ).swapaxes(1, 2)
     q = jnp.moveaxis(q, 2, 1)  # [B, H, Sq, D]
     k = jnp.moveaxis(k, 2, 1)
     v = jnp.moveaxis(v, 2, 1)
-    sk = k.shape[2]
     k_chunk = min(k_chunk, sk)
     pad = (-sk) % k_chunk
     if pad:
@@ -107,10 +118,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, n
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [bq, bk]
 
-    # mask out key padding in the last block
+    # mask out key padding in the last block (statically skipped when the
+    # sequence tiles exactly — saves an iota+select VPU pass per grid cell)
     bk = k.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
-    s = jnp.where(col < sk, s, _NEG_INF)
+    if nk * bk != sk:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+        s = jnp.where(col < sk, s, _NEG_INF)
 
     m_prev = m_scr[:]  # [bq, 128] lane-replicated running max
     row_max = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
@@ -236,9 +249,10 @@ def _flash_packed_kernel(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [bq, bk]
-        if col is None:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
-        s = jnp.where(col < sk, s, _NEG_INF)
+        if nk * bk != sk:  # static: skip masking when tiles cover exactly
+            if col is None:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+            s = jnp.where(col < sk, s, _NEG_INF)
 
         m_prev = m_scr[:, h : h + 1]  # [bq, 1]
         row_max = jnp.max(s, axis=-1, keepdims=True)
@@ -386,8 +400,9 @@ def _flash_fwd_lse_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     bk = k.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
-    s = jnp.where(col < sk, s, _NEG_INF)
+    if nk * bk != sk:  # static: skip masking when tiles cover exactly
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+        s = jnp.where(col < sk, s, _NEG_INF)
 
     m_prev = m_scr[:]
     row_max = jnp.max(s, axis=-1, keepdims=True)
