@@ -235,3 +235,24 @@ def test_generic_vis_tiling():
     )
     assert mosaic.dtype == np.uint8 and mosaic.ndim == 3
     assert mosaic.shape[1] > 18  # two columns
+
+
+def test_dataset_timeit_and_config_roundtrip(tmp_path):
+    """ClipDataset.timeit throughput probe + save_config/from_config JSON
+    round-trip (reference dataset.py:205-255)."""
+    from unigeo_tpu.data.base import ClipDataset
+    from unigeo_tpu.data.synthetic import SyntheticBoxDataset
+
+    ds = SyntheticBoxDataset(
+        clip_length=2, clip_overlap=0, num_scenes=1, frames_per_scene=4,
+        render_size=(32, 32),
+    )
+    per = ds.timeit(2)
+    assert per > 0
+
+    cfg_path = str(tmp_path / "dataset_config.json")
+    ds.save_config(cfg_path)
+    ds2 = ClipDataset.from_config(cfg_path)
+    assert type(ds2) is SyntheticBoxDataset
+    assert ds2.clip_length == 2 and ds2.clip_overlap == 0
+    assert len(ds2) == len(ds)

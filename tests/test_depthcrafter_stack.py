@@ -300,3 +300,29 @@ def test_adapter_forward_batch_single_chip(shared_tiny_pipeline, monkeypatch):
         # noise by up to 100x; ~2e-3 on O(1..10) depths is compiler noise
         assert np.abs(out["pred_depths"] - ref["pred_depths"]).max() < 1e-2
         assert np.abs(out["pred_normals"] - ref["pred_normals"]).max() < 5e-2
+
+
+def test_fused_upsample_conv_exact():
+    """Conv2d(fuse_upsample2x=True) == repeat-upsample + plain Conv2d with
+    the SAME param tree (names, shapes, values) — checkpoints map unchanged,
+    outputs match to float tolerance."""
+    import jax.tree_util as jtu
+
+    from unigeo_tpu.models.layers import Conv2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 7, 5, 6)), jnp.float32)
+
+    plain = Conv2d(4)
+    fused = Conv2d(4, fuse_upsample2x=True)
+    p_plain = plain.init(jax.random.PRNGKey(0), x)["params"]
+    p_fused = fused.init(jax.random.PRNGKey(0), x)["params"]
+    # identical tree structure and leaf shapes
+    assert jtu.tree_structure(p_plain) == jtu.tree_structure(p_fused)
+    assert jax.tree.map(jnp.shape, p_plain) == jax.tree.map(jnp.shape, p_fused)
+
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = plain.apply({"params": p_plain}, up)
+    out = fused.apply({"params": p_plain}, x)  # plain params drive the fused op
+    assert out.shape == ref.shape == (2, 14, 10, 4)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5

@@ -179,6 +179,60 @@ class ClipDataset:
         return len(self.samples)
 
     # ------------------------------------------------------------------
+    # diagnostics & config round-trip (reference: dataset.py:205-255)
+    # ------------------------------------------------------------------
+
+    def timeit(self, num: int = 10) -> float:
+        """Loader throughput probe: seconds per clip over the first ``num``
+        samples (reference ``Dataset.timeit``, dataset.py:205-215)."""
+        import time
+
+        num = min(num, len(self))
+        if num == 0:
+            return 0.0
+        t0 = time.perf_counter()
+        for i in range(num):
+            self[i]
+        per = (time.perf_counter() - t0) / num
+        if self.verbose:
+            print(f"{self.name}: {per:.3f} s/clip ({num} clips)")
+        return per
+
+    def save_config(self, path: str) -> None:
+        """Persist the dataset construction config as JSON so a run's exact
+        data setup can be reloaded later (reference pickles the dataset
+        config, dataset.py:217-255 — JSON here, same rationale as the
+        sample-list cache)."""
+        cfg = {
+            "dataset_cls": type(self).__name__,
+            "root": self.root,
+            "split": self.split,
+            "clip_length": self.clip_length,
+            "clip_overlap": self.clip_overlap,
+            "input_size": list(self.input_resize.size) if self.input_resize else None,
+            "target_size": list(self.target_resize.size) if self.target_resize else None,
+        }
+        cfg.update(self.config_extras())
+        os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(cfg, f, indent=2)
+
+    def config_extras(self) -> Dict:
+        """Subclass hook: extra constructor kwargs save_config should keep."""
+        return {}
+
+    @staticmethod
+    def from_config(path: str) -> "ClipDataset":
+        """Reconstruct a dataset from a ``save_config`` JSON via the
+        registry (reference: dataset.py:246-255)."""
+        from unigeo_tpu.registry import get_dataset_cls
+
+        with open(path) as f:
+            cfg = json.load(f)
+        cls = get_dataset_cls(cfg.pop("dataset_cls"))
+        return cls(**cfg)
+
+    # ------------------------------------------------------------------
     # subclass hooks
     # ------------------------------------------------------------------
 

@@ -146,6 +146,13 @@ class SyntheticBoxDataset(ClipDataset):
     depth_clamp = (1e-3, 20.0)
     native_normals = True
 
+    def config_extras(self):
+        return {
+            "num_scenes": self.num_scenes,
+            "frames_per_scene": self.frames_per_scene,
+            "render_size": [self.render_h, self.render_w],
+        }
+
     def __init__(
         self,
         root=None,

@@ -189,9 +189,8 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return Conv2d(self.out_ch, name="conv")(x)
+        # nearest-2x upsample + conv fused into one lhs-dilated conv
+        return Conv2d(self.out_ch, fuse_upsample2x=True, name="conv")(x)
 
 
 class UNetSpatioTemporal(nn.Module):

@@ -151,9 +151,9 @@ class TemporalDecoder(nn.Module):
             for j in range(self.layers_per_block + 1):
                 h = VaeSpatioTemporalResBlock(ch, name=f"up_{i}_res_{j}")(h, num_frames)
             if i < len(self.block_out_channels) - 1:
-                bt, hh, ww, c = h.shape
-                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = Conv2d(c, name=f"up_{i}_upsample")(h)
+                c = h.shape[-1]
+                # nearest-2x upsample + conv fused into one lhs-dilated conv
+                h = Conv2d(c, fuse_upsample2x=True, name=f"up_{i}_upsample")(h)
 
         h = GroupNorm(epsilon=1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
