@@ -144,7 +144,9 @@ def main():
             out = pipe.run_window_staged(pipe.params, frames, noise, steps)
         return float(final_sum(out))
 
-    run()  # compile (excluded)
+    t0 = time.perf_counter()
+    run()  # compile + weight staging (excluded from fps; reported below)
+    first_run_s = time.perf_counter() - t0
     float(trivial(jnp.float32(0.0)))
 
     rtts = []
@@ -162,6 +164,34 @@ def main():
 
     best = max(min(times) - rtt, 1e-9)
     fps = clips * t / best
+
+    # per-stage wall breakdown (steady-state, rtt-corrected; B=1 shapes)
+    def _stage_ms(fn):
+        def once():
+            out = fn()
+            return float(final_sum(out[0] if isinstance(out, tuple) else out))
+
+        once()  # warm
+        ts = []
+        for _ in range(3):
+            s0 = time.perf_counter()
+            once()
+            ts.append(time.perf_counter() - s0)
+        return round(max(min(ts) - rtt, 0.0) * 1e3, 1)
+
+    stage_ms = {}
+    try:
+        cond, ctxv = pipe._encode_stage(pipe.params, frames, None)
+        stage_ms["encode+clip"] = _stage_ms(
+            lambda: pipe._encode_stage(pipe.params, frames, None)
+        )
+        lat = pipe._denoise_stage(pipe.params, cond, ctxv, noise, steps)
+        stage_ms["denoise"] = _stage_ms(
+            lambda: pipe._denoise_stage(pipe.params, cond, ctxv, noise, steps)
+        )
+        stage_ms["decode"] = _stage_ms(lambda: pipe._decode_stage(pipe.params, lat))
+    except Exception:
+        stage_ms = {}
 
     # MFU: total program FLOPs (XLA cost analysis over the three stages)
     # against the chip's bf16 peak.
@@ -208,6 +238,8 @@ def main():
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / A100_REF_FPS, 4),
                 "mfu": mfu,
+                "stage_ms": stage_ms,  # steady-state per-stage wall (B=1)
+                "first_run_s": round(first_run_s, 1),  # compile+weight staging
                 "baseline_measured": False,  # A100 fps is a documented
                 # estimate; the reference repo publishes no numbers
             }

@@ -326,3 +326,23 @@ def test_fused_upsample_conv_exact():
     out = fused.apply({"params": p_plain}, x)  # plain params drive the fused op
     assert out.shape == ref.shape == (2, 14, 10, 4)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+
+
+def test_forward_batch_heterogeneous_shapes_fall_back(shared_tiny_pipeline):
+    """Mixed clip shapes across scenes cannot form one batch — forward_batch
+    must fall back to the serial path instead of np.stack raising."""
+    from unigeo_tpu.data.synthetic import SyntheticBoxDataset
+    from unigeo_tpu.models.depthcrafter.model import DepthCrafter
+
+    ds_small = SyntheticBoxDataset(
+        clip_length=2, clip_overlap=0, num_scenes=1, frames_per_scene=2,
+        render_size=(64, 64),
+    )
+    ds_big = SyntheticBoxDataset(
+        clip_length=3, clip_overlap=0, num_scenes=1, frames_per_scene=3,
+        render_size=(64, 64),
+    )
+    model = DepthCrafter(num_inference_steps=2, pipeline=shared_tiny_pipeline)
+    outs = model.forward_batch([ds_small[0], ds_big[0]])
+    assert outs[0]["pred_depths"].shape == (2, 64, 64)
+    assert outs[1]["pred_depths"].shape == (3, 64, 64)

@@ -138,3 +138,41 @@ def test_cut3r_rope_mode(clip):
     for key in out:
         if isinstance(out[key], np.ndarray):
             assert np.isfinite(out[key]).all(), key
+
+
+def test_decoder_dpt_hooks_dust3r_convention():
+    """DPT hooks follow dust3r's dpt_head convention — hooks_idx
+    [0, 2L/4, 3L/4, L] over [encoder_out, block_1..block_L]: hook 0 is the
+    PRE-decoder ENCODER tokens at ENCODER width (torch act_postprocess.0.0
+    in_channels = enc_embed_dim), hooks 1..3 at decoder width."""
+    import jax.numpy as jnp
+
+    from unigeo_tpu.models.pointmap.network import PointmapDecoder
+
+    enc_w, dec_w, depth = 48, 32, 4
+    dec = PointmapDecoder(width=dec_w, depth=depth, num_heads=2,
+                          return_hooks=True)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.normal(size=(2, 6, enc_w)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 5, dec_w)), jnp.float32)
+    params = dec.init(jax.random.PRNGKey(0), tokens, ctx)
+    final, hooks = dec.apply(params, tokens, ctx)
+    assert len(hooks) == 4
+    assert hooks[0].shape[-1] == enc_w  # encoder tokens, untouched
+    assert np.allclose(np.asarray(hooks[0]), np.asarray(tokens))
+    for h in hooks[1:]:
+        assert h.shape[-1] == dec_w
+    assert np.allclose(np.asarray(hooks[3]), np.asarray(final))
+
+
+def test_dpt_mode_end_to_end_with_enc_width_hook(clip):
+    """Spann3R in DPT mode runs end-to-end with the encoder-width hook 0
+    (the DPT act_postprocess convs infer their input dims)."""
+    cfg = dict(tiny_spann3r_config())
+    cfg["head_type"] = "dpt"
+    model = Spann3R(**cfg)
+    out = model.forward(clip)
+    nf = len(clip["images"])
+    h, w = clip["images"][0].shape[-2:]
+    assert out["pred_world_pts"].shape == (nf, h, w, 3)
+    assert np.isfinite(out["pred_world_pts"]).all()

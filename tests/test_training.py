@@ -137,3 +137,21 @@ def test_sharded_clip_executor():
     assert np.isfinite(out).all()
     # different clips produce different outputs (not a broadcast bug)
     assert not np.allclose(out[0], out[1])
+
+
+def test_sharded_executor_default_noise_matches_serial():
+    """With default (seed-derived) noise, every batched clip reproduces the
+    SERIAL pipeline output for the same seed: the serial path re-seeds
+    PRNGKey(seed) per clip, so the executor broadcasts one (T,...) draw."""
+    from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
+    from unigeo_tpu.parallel.executor import ShardedClipExecutor
+
+    pipe = tiny_pipeline(height=64, width=64, num_frames=2)
+    mesh = make_mesh(8, shape=(8, 1, 1))
+    execu = ShardedClipExecutor(pipe, mesh, num_inference_steps=2)
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(size=(3, 2, 64, 64, 3)).astype(np.float32)
+    out = execu(frames, seed=7)
+    for i in range(3):
+        serial = pipe(frames[i], num_inference_steps=2, seed=7)
+        assert np.abs(out[i] - serial).max() < 5e-4, i

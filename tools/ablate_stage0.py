@@ -21,44 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+from tools._benchlib import measure_rtt, setup_cache, time_chained
+
+setup_cache()
+
+def _time_chained(fn, x, *extra, reps=3, rtt=0.0):
+    """Old signature adapter → shared time_chained (extras closed over)."""
+    return time_chained(lambda c: fn(c, *extra), x, K, reps=reps, rtt=rtt)
 
 DTYPE = jnp.bfloat16
 T, H, W, C = 25, 48, 64, 320
 K = 16  # chained applications per program
-
-
-def _rtt():
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(trivial(jnp.float32(0.0)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def _time_chained(fn, x, *extra, reps=3, rtt=0.0):
-    """fn(x, *extra) -> same-shape-as-x, applied K times in one program."""
-
-    @jax.jit
-    def prog(x, *extra):
-        def body(c, _):
-            return fn(c, *extra).astype(DTYPE), None
-
-        y, _ = jax.lax.scan(body, x, None, length=K)
-        return jnp.sum(y.astype(jnp.float32))
-
-    float(prog(x, *extra))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(prog(x, *extra))
-        times.append(time.perf_counter() - t0)
-    return max(min(times) - rtt, 0.0) / K
 
 
 def main():
@@ -72,7 +45,7 @@ def main():
         TemporalConv,
     )
 
-    rtt = _rtt()
+    rtt = measure_rtt()
     print(f"device={jax.devices()[0].device_kind}  rtt={rtt*1e3:.1f} ms  (per-op ms, K={K})", flush=True)
 
     def bf16(p):
@@ -86,8 +59,8 @@ def main():
     def bench(name, module, x, *extra):
         params = module.init(rng, x, *extra)["params"]
         params = jax.tree.map(lambda a: a.astype(DTYPE), params)
-        ms = _time_chained(
-            lambda c, p: module.apply({"params": p}, c, *extra), x, params,
+        ms = time_chained(
+            lambda c: module.apply({"params": params}, c, *extra), x, K,
             rtt=rtt,
         ) * 1e3
         print(f"{name:48s} {ms:8.3f} ms", flush=True)
@@ -132,7 +105,7 @@ def main():
     print(f"{'gelu exact [T,HW,4C]':48s} {ms:8.3f} ms", flush=True)
     ms = _time_chained(lambda a: nn.gelu(a, approximate=True), hid, rtt=rtt) * 1e3
     print(f"{'gelu tanh  [T,HW,4C]':48s} {ms:8.3f} ms", flush=True)
-    ms = _time_chained(lambda a: nn.silu(a), hid, rtt=rtt) * 1e3
+    ms = time_chained(lambda a: nn.silu(a), hid, K, rtt=rtt) * 1e3
     print(f"{'silu       [T,HW,4C]':48s} {ms:8.3f} ms", flush=True)
 
     # --- attention at stage0 shapes ---

@@ -20,30 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+from tools._benchlib import measure_rtt, setup_cache
+
+setup_cache()
 
 DTYPE = jnp.bfloat16
 T, LH, LW = 25, 48, 64
 K = 4
 
 
-def _rtt():
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(trivial(jnp.float32(0.0)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
 def main():
     import unigeo_tpu.models.depthcrafter.unet as unet_mod
 
-    rtt = _rtt()
+    rtt = measure_rtt()
     print(f"device={jax.devices()[0].device_kind}  rtt={rtt*1e3:.1f} ms  K={K}",
           flush=True)
     rng = jax.random.PRNGKey(0)

@@ -19,41 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+from tools._benchlib import measure_rtt, setup_cache, time_chained
+
+setup_cache()
 
 DTYPE = jnp.bfloat16
 K = 16
 
 
-def _rtt():
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(trivial(jnp.float32(0.0)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
 def _time_chained(fn, x, reps=3, rtt=0.0):
-    @jax.jit
-    def prog(x):
-        def body(c, _):
-            return fn(c).astype(DTYPE), None
-
-        y, _ = jax.lax.scan(body, x, None, length=K)
-        return jnp.sum(y.astype(jnp.float32))
-
-    float(prog(x))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(prog(x))
-        times.append(time.perf_counter() - t0)
-    return max(min(times) - rtt, 0.0) / K
+    return time_chained(fn, x, K, reps=reps, rtt=rtt)
 
 
 def main():
@@ -62,7 +37,7 @@ def main():
         flash_attention_tpu_packed,
     )
 
-    rtt = _rtt()
+    rtt = measure_rtt()
     print(f"device={jax.devices()[0].device_kind}  rtt={rtt*1e3:.1f} ms  K={K}",
           flush=True)
 

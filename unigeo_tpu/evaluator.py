@@ -133,7 +133,11 @@ def run_evaluation(
         model = model_cls(**cfg.model_params)
 
     if resume:
-        manager = MetricsManager.from_csv(save_path, cfg.metric_names)
+        # resume from THIS RANK's progress file: under multi-host each rank
+        # streams rows to metrics.rank{i}.csv and the canonical metrics.csv
+        # only exists after the final merge, so reading save_path there
+        # would silently restart completed clips
+        manager = MetricsManager.from_csv(rank_path, cfg.metric_names)
     else:
         manager = MetricsManager(cfg.metric_names)
 

@@ -161,7 +161,12 @@ def process_directory(directory: str):
     for root, _, files in os.walk(directory):
         for name in sorted(files):
             if name.endswith("_metric.txt"):
-                seq = name.replace("_eval_metric.txt", "")
+                # strip the full eval suffix when present, else the short one
+                # ("seq1_metric.txt" → "seq1", not "seq1_metric.txt")
+                if name.endswith("_eval_metric.txt"):
+                    seq = name[: -len("_eval_metric.txt")]
+                else:
+                    seq = name[: -len("_metric.txt")]
                 results.append(
                     (seq,) + extract_metrics(os.path.join(root, name))
                 )

@@ -156,7 +156,13 @@ class DepthCrafter:
         every clip (fixed seed, model/depthcrafter.py:79-90 analog), so the
         batch uses one broadcast noise tensor.
         """
-        frames = np.stack([self.prepare_input(d) for d in datas])
+        prepped = [self.prepare_input(d) for d in datas]
+        if len({f.shape for f in prepped}) > 1:
+            # heterogeneous clip shapes (mixed T/H/W across scenes) cannot
+            # form one batch — fall back to the serial path instead of
+            # letting np.stack raise
+            return [self.forward(d) for d in datas]
+        frames = np.stack(prepped)
         b, t, h, w, _ = frames.shape
         if self.window_size and self.window_size < t:
             return [self.forward(d) for d in datas]  # windowed path is serial

@@ -128,7 +128,7 @@ class Attention(nn.Module):
                     head_dim, kpos, self.rope_freq, k.dtype
                 )
                 k = apply_rope_2d(kh, cos_k, sin_k).reshape(b, sk, inner)
-        if self.packed and use_packed_attention(s, head_dim):
+        if self.packed and use_packed_attention(s):
             # q/k/v stay in the [B, S, H·D] layout the projections emit and
             # the out-projection consumes — zero layout copies
             out = attention_packed(q, k, v, self.num_heads, head_dim**-0.5)

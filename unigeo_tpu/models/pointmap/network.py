@@ -88,10 +88,17 @@ class PointmapDecoder(nn.Module):
             return nn.LayerNorm(epsilon=1e-5, name="norm")(out)
         h, layers = out
         final = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
-        # DPT hook points: 4 evenly-spaced decoder depths, last = normed out
-        # (dust3r dpt_head hooks analog)
-        idx = [max(0, (self.depth * k) // 4 - 1) for k in (1, 2, 3)]
-        hooks = [layers[i] for i in idx] + [final]
+        # DPT hook points, dust3r convention (dpt_head hooks_idx
+        # [0, 2L/4, 3L/4, L] over the list [encoder_out, block_1..block_L]):
+        # hook 0 is the PRE-decoder ENCODER tokens (enc width — torch
+        # act_postprocess.0.0 has in_channels=enc_embed_dim), hooks 1-2 are
+        # decoder blocks 2L/4 and 3L/4, hook 3 the normed final output.
+        hooks = [
+            tokens,
+            layers[self.depth * 2 // 4 - 1],
+            layers[self.depth * 3 // 4 - 1],
+            final,
+        ]
         return final, hooks
 
 

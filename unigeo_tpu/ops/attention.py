@@ -698,7 +698,7 @@ def attention(q, k, v, scale=None, min_pallas_seq: int = 128):
     return attention_reference(q, k, v, scale=scale)
 
 
-def use_packed_attention(seq_len: int, head_dim: int, min_seq: int = 128) -> bool:
+def use_packed_attention(seq_len: int, min_seq: int = 128) -> bool:
     """Packed-layout kernel dispatch: TPU + long query sequences (same
     threshold as ``attention``; short temporal sequences stay on the jnp
     path where the kernel launch dominates).  UNIGEO_PACKED_ATTN=0

@@ -104,8 +104,14 @@ class ShardedClipExecutor:
         b, t, h, w, _ = frames_batch.shape
         rng = jax.random.PRNGKey(seed)
         if noise is None:
-            noise = np.asarray(
-                jax.random.normal(rng, (b, t, h // 8, w // 8, 4), jnp.float32)
+            # the serial pipeline re-seeds PRNGKey(seed) per clip, so every
+            # clip draws the SAME (t,...) noise — broadcast, don't draw a
+            # fresh (b,t,...) tensor (only clip 0 of that would match)
+            noise = np.broadcast_to(
+                np.asarray(
+                    jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)
+                ),
+                (b, t, h // 8, w // 8, 4),
             )
         noise = np.asarray(noise, np.float32)
         if aug_noise is None:

@@ -130,10 +130,10 @@ def process_allgather_rows(rows: List[Dict]) -> List[Dict]:
 
     payload = json.dumps(rows).encode()
     n = np.int64(len(payload))
-    max_len = int(multihost_utils.process_allgather(n).max())
+    lens = multihost_utils.process_allgather(n)  # [P] — one gather serves both
+    max_len = int(lens.max())
     buf = np.zeros((max_len,), np.uint8)
     buf[: len(payload)] = np.frombuffer(payload, np.uint8)
-    lens = multihost_utils.process_allgather(n)  # [P]
     bufs = multihost_utils.process_allgather(buf)  # [P, max_len]
     out: List[Dict] = []
     for i in range(bufs.shape[0]):

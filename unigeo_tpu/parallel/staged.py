@@ -114,8 +114,13 @@ class PipelinedStageExecutor:
         b, t, h, w, _ = clips.shape
         rng = jax.random.PRNGKey(seed)
         if noise is None:
-            noise = np.asarray(
-                jax.random.normal(rng, (b, t, h // 8, w // 8, 4), jnp.float32)
+            # serial pipeline re-seeds PRNGKey(seed) per clip → same (t,...)
+            # noise for every clip; broadcast rather than drawing (b,t,...)
+            noise = np.broadcast_to(
+                np.asarray(
+                    jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)
+                ),
+                (b, t, h // 8, w // 8, 4),
             )
         if aug_noise is None and self.pipe.noise_aug_strength > 0:
             aug_noise = np.broadcast_to(
