@@ -152,3 +152,15 @@ def test_metric_scale_mode(rng):
     golden = _reference_depth_metrics(pred, gt, mask)
     res, *_ = depth_evaluation(pred, gt, alignment="metric")
     assert np.isclose(res["Abs Rel"], golden["Abs Rel"], rtol=1e-4)
+
+
+def test_median_alignment_zero_prediction_stays_finite():
+    """A degenerate all-zero prediction median falls back to scale 1 —
+    metrics are finitely bad, not ~1e12 garbage poisoning CSV averages."""
+    gt = np.full((1, 8, 8), 2.0, np.float32)
+    pred = np.zeros((1, 8, 8), np.float32)
+    res, *_ = depth_evaluation(
+        predicted_depth=pred, ground_truth_depth=gt, alignment="median"
+    )
+    assert np.isfinite(res["Abs Rel"])
+    assert res["Abs Rel"] <= 10.0

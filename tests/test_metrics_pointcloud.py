@@ -129,3 +129,16 @@ def test_pcd_evaluation_scale_shift_invariance(rng):
     res = pcd_evaluation(pred, gt, masks, downsample_num=-1)
     assert res["acc"] < 2e-2
     assert res["comp"] < 2e-2
+
+
+def test_pcd_evaluation_fewer_points_than_knn_k():
+    """Clips with fewer valid points than the normal-estimation k (30) must
+    score, not crash (knn clamps k to the cloud size and pads columns)."""
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)  # 16 points < 30
+    res = pcd_evaluation(
+        predicted_pcd=pts + 0.01, ground_truth_pcd=pts,
+        masks=np.ones((1, 4, 4), bool), rgbs=np.ones((1, 4, 4, 3), np.float32),
+        downsample_num=16,
+    )
+    assert np.isfinite(res["acc"]) and np.isfinite(res["comp"])

@@ -14,8 +14,11 @@ Conventions used throughout this framework (same as the reference):
     extrinsics rebased so frame 0 (the keyview) is the world origin
     (reference: dataset/Readme.md:22-33, scannetpp.py:137-187).
   * Model predictions and ground-truth labels handed to the metrics suite are
-    in **OpenCV** convention (reference: model/Readme.md:16-20,
-    utils/io_utils.py:4-46).
+    in **OpenCV** convention — EXCEPT normals, which stay in the OpenGL
+    camera frame on both pred and GT sides (the reference leaves cam_normal
+    unflipped in prepare_gt_label and its adapters flip predictions TO
+    OpenGL; reference: model/Readme.md:16-20, utils/io_utils.py:4-46,
+    model/depthcrafter.py:48-68).
 
 All functions are pure and work on numpy or jax.numpy arrays (they only use
 operations both support); batched inputs use leading dimensions.

@@ -69,8 +69,10 @@ class SpatialAugmentation:
             if key in sample:
                 sample[key] = resize_nearest(sample[key], (sht, swd))
 
-        y0 = int(self.rng.integers(0, max(sht - cht, 1)))
-        x0 = int(self.rng.integers(0, max(swd - cwd, 1)))
+        # +1: integers() is exclusive-high — include the bottom/right-most
+        # crop position
+        y0 = int(self.rng.integers(0, max(sht - cht, 0) + 1))
+        x0 = int(self.rng.integers(0, max(swd - cwd, 0) + 1))
         return _crop(sample, y0, x0, cht, cwd)
 
 
@@ -93,8 +95,23 @@ def _center_crop_to(sample: Dict, size: Tuple[int, int]) -> Dict:
     ht, wd = sample["images"].shape[-2:]
     if (ht, wd) == (cht, cwd):
         return sample
-    y0 = max((ht - cht) // 2, 0)
-    x0 = max((wd - cwd) // 2, 0)
+    if ht < cht or wd < cwd:
+        # input smaller than target: upscale first so the crop below really
+        # yields the promised output size
+        scale = max(cht / ht, cwd / wd)
+        sht, swd = int(np.ceil(ht * scale)), int(np.ceil(wd * scale))
+        sample["images"] = np.stack(
+            [resize_bilinear_chw(im, (sht, swd)) for im in sample["images"]]
+        )
+        sample["intrinsics"] = sample["intrinsics"] * coords.intrinsics_resize_scale(
+            (ht, wd), (sht, swd)
+        )
+        for key in _GEOM_KEYS + ("mask",):
+            if key in sample:
+                sample[key] = resize_nearest(sample[key], (sht, swd))
+        ht, wd = sht, swd
+    y0 = (ht - cht) // 2
+    x0 = (wd - cwd) // 2
     return _crop(sample, y0, x0, cht, cwd)
 
 

@@ -74,7 +74,13 @@ class SceneIndex:
 
 def slice_clips(num_frames: int, clip_length: int, clip_overlap: int) -> List[List[int]]:
     """Sliding windows with stride (length - overlap); the last clip pads by
-    repeating its final frame (reference: scannetpp.py:42-48)."""
+    repeating its final frame (reference: scannetpp.py:42-48).
+
+    Parity note: with overlap > 0 the reference's ``range(0, n, stride)``
+    loop can emit a final window whose fresh frames were already fully
+    covered (e.g. n=10, L=4, o=2 → [8,9,9,9] after [6,7,8,9]); we reproduce
+    that so per-sequence CSV rows line up clip-for-clip.
+    """
     stride = clip_length - clip_overlap
     assert stride > 0, "clip_overlap must be smaller than clip_length"
     clips = []
@@ -144,19 +150,30 @@ class ClipDataset:
     def name(self) -> str:
         return f"{self.base_dataset}.{self.split}"
 
-    def _cache_path(self) -> str:
+    def _cache_path(self, scenes: Sequence[str]) -> str:
+        # key on root + the actual scene list, not just name/clip/overlap:
+        # a cache written against a partial install or a custom scene_list
+        # must never be reused for a different data setup (the reference's
+        # pickle cache has exactly this staleness hazard, dataset.py:264-266)
+        import hashlib
+
+        tag = hashlib.sha1(
+            json.dumps([self.root, list(scenes)]).encode()
+        ).hexdigest()[:10]
         return osp.join(
             self.cache_dir,
-            f"{self.name}_clip{self.clip_length}_overlap{self.clip_overlap}.json",
+            f"{self.name}_clip{self.clip_length}_overlap{self.clip_overlap}"
+            f"_{tag}.json",
         )
 
     def _init_samples(self) -> None:
-        path = self._cache_path()
+        scenes = self.list_scenes(self.split)
+        path = self._cache_path(scenes)
         if osp.isfile(path):
             with open(path) as f:
                 self.samples = json.load(f)
             return
-        for scene_name in self.list_scenes(self.split):
+        for scene_name in scenes:
             index = self._scene(scene_name)
             for clip in slice_clips(
                 len(index.rgb_paths), self.clip_length, self.clip_overlap

@@ -69,10 +69,11 @@ def validate_sample(data: Dict[str, Any]) -> None:
 
 
 def prepare_gt_label(data: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    """OpenGL clip sample → OpenCV ground-truth tensors.
+    """OpenGL clip sample → ground-truth tensors for the metrics suite.
 
-    (reference: utils/io_utils.py:4-46; pose conjugation at :20, point sign
-    flips at :23/:26, gt depth = camera-z at :32)
+    Points/poses/depths convert to OpenCV; gt_normals stay OpenGL (see the
+    in-body comment).  (reference: utils/io_utils.py:4-46; pose conjugation
+    at :20, point sign flips at :23/:26, gt depth = camera-z at :32)
     Returns channels-last arrays:
       gt_world_pts [Nf,H,W,3], gt_masks [Nf,H,W] bool, gt_poses [Nf,4,4] c2w,
       gt_depths [Nf,H,W], gt_rgbs [Nf,H,W,3] in 0..1, gt_normals [Nf,H,W,3].
@@ -89,6 +90,10 @@ def prepare_gt_label(data: Dict[str, Any]) -> Dict[str, np.ndarray]:
     gt_world_pts = np.moveaxis(world_pts, 1, -1)  # [Nf,H,W,3] CV
     gt_depths = np.moveaxis(cam_pts, 1, -1)[..., 2]  # camera z in CV = depth
     gt_rgbs = np.moveaxis(np.asarray(data["images"], np.float32), 1, -1) / 255.0
+    # normals stay in the OpenGL camera frame on BOTH sides: the reference
+    # does not flip them in prepare_gt_label (io_utils.py:40) and its model
+    # adapters flip predicted normals TO OpenGL (depthcrafter.py:48-68), so
+    # normal_evaluation compares OpenGL vs OpenGL
     gt_normals = np.moveaxis(np.asarray(data["cam_normal"], np.float32), 1, -1)
     gt_masks = np.asarray(data["mask"]) > 0
 

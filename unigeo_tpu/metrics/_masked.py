@@ -56,36 +56,3 @@ def masked_median(x, mask, semantics: str = "torch"):
     else:
         raise ValueError(f"bad median semantics: {semantics}")
     return jnp.where(n > 0, out, 0.0)
-
-
-def masked_quantile(x, mask, q: float):
-    """Linear-interpolation quantile over valid elements (numpy semantics)."""
-    s, n = _sorted_masked(x, mask)
-    pos = q * (n.astype(jnp.float32) - 1.0)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.ceil(pos).astype(jnp.int32)
-    frac = pos - lo.astype(jnp.float32)
-    lo = jnp.clip(lo, 0, s.shape[0] - 1)
-    hi = jnp.clip(hi, 0, s.shape[0] - 1)
-    out = s[lo] * (1.0 - frac) + s[hi] * frac
-    return jnp.where(n > 0, out, 0.0)
-
-
-def masked_median_lastdim(x, mask, semantics: str = "torch"):
-    """Median over the last axis, batched over leading axes.
-
-    x: [..., N]; mask: [..., N] → [...] medians.
-    """
-    xf = x.astype(jnp.float32)
-    xf = jnp.where(mask, xf, _BIG)
-    s = jnp.sort(xf, axis=-1)
-    n = jnp.sum(mask.astype(jnp.int32), axis=-1)
-    idx_lower = jnp.maximum((n - 1) // 2, 0)
-    lower = jnp.take_along_axis(s, idx_lower[..., None], axis=-1)[..., 0]
-    if semantics == "torch":
-        out = lower
-    else:
-        idx_upper = jnp.clip(n // 2, 0, s.shape[-1] - 1)
-        upper = jnp.take_along_axis(s, idx_upper[..., None], axis=-1)[..., 0]
-        out = jnp.where(n % 2 == 1, lower, 0.5 * (lower + upper))
-    return jnp.where(n > 0, out, 0.0)

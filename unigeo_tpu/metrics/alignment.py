@@ -56,7 +56,12 @@ def median_scale(pred, gt, mask):
     """
     med_gt = masked_median(gt, mask, semantics="torch")
     med_pred = masked_median(pred, mask, semantics="torch")
-    return med_gt / jnp.where(med_pred == 0, 1e-12, med_pred)
+    # degenerate prediction (median ≈ 0, e.g. zeros outside a model's
+    # confident region): fall back to scale 1 so the clip scores finitely
+    # bad instead of an ~1e12x scale poisoning the CSV Average row (the
+    # reference divides unguarded → inf, eval_depth.py:119-121)
+    ok = jnp.abs(med_pred) > 1e-8
+    return jnp.where(ok, med_gt / jnp.where(ok, med_pred, 1.0), 1.0)
 
 
 def weiszfeld_scale(pred, gt, mask, iters: int = 10):

@@ -67,46 +67,6 @@ def rotation_angle_deg(R):
     return jnp.arccos(cos) * (180.0 / np.pi)
 
 
-@jax.jit
-def _camera_metrics_jit(pred_pose, gt_pose):
-    pred_pose = pred_pose.astype(jnp.float32)
-    gt_pose = gt_pose.astype(jnp.float32)
-    t_est = pred_pose[:, :3, 3]
-    t_ref = gt_pose[:, :3, 3]
-    R_est = pred_pose[:, :3, :3]
-    R_ref = gt_pose[:, :3, :3]
-
-    # --- ATE: Sim(3)-align est onto ref, translation RMSE ---
-    R, t, c = umeyama_alignment(t_est, t_ref)
-    t_aligned = c * (t_est @ R.T) + t
-    err = jnp.linalg.norm(t_ref - t_aligned, axis=-1)
-    ate = jnp.sqrt(jnp.mean(err * err))
-
-    # --- RPE over consecutive pairs (delta=1, all_pairs) ---
-    # Aligned est pose: rotation R@R_est_i, translation c*R@t_est_i + t.
-    # Relative pose i→i+1 of the aligned est:
-    #   rot   = R_est_i^T R_est_{i+1}                      (alignment cancels)
-    #   trans = c * R_est_i^T (t_est_{i+1} - t_est_i)      (scaled only)
-    # Error pose E = rel_ref^{-1} rel_est:
-    #   rot(E)   = rel_R_ref^T rel_R_est
-    #   trans(E) = rel_R_ref^T (c*rel_t_est - rel_t_ref)   (norm is rotation-
-    #              invariant, so the leading rel_R_ref^T drops out of ||.||)
-    RtT_est = jnp.swapaxes(R_est[:-1], -1, -2)
-    RtT_ref = jnp.swapaxes(R_ref[:-1], -1, -2)
-    rel_R_est = RtT_est @ R_est[1:]
-    rel_R_ref = RtT_ref @ R_ref[1:]
-    rel_t_est = jnp.einsum("nij,nj->ni", RtT_est, t_est[1:] - t_est[:-1])
-    rel_t_ref = jnp.einsum("nij,nj->ni", RtT_ref, t_ref[1:] - t_ref[:-1])
-
-    trans_err = jnp.linalg.norm(c * rel_t_est - rel_t_ref, axis=-1)
-    rpe_trans = jnp.sqrt(jnp.mean(trans_err * trans_err))
-
-    rot_err = rotation_angle_deg(jnp.swapaxes(rel_R_ref, -1, -2) @ rel_R_est)
-    rpe_rot = jnp.sqrt(jnp.mean(rot_err * rot_err))
-
-    return ate, rpe_trans, rpe_rot
-
-
 def _umeyama_np(src, dst):
     """float64 Umeyama on host — evo computes trajectory alignment in double
     precision, and at ≤25 poses the solve is far below kernel-launch cost."""
@@ -143,6 +103,14 @@ def camera_pose_evaluation(pred_pose, gt_pose):
     err = np.linalg.norm(t_ref - t_aligned, axis=-1)
     ate = float(np.sqrt(np.mean(err * err)))
 
+    # RPE over consecutive pairs (delta=1, all_pairs).  Aligned est pose has
+    # rotation R@R_est_i and translation c*R@t_est_i + t, so the relative
+    # pose i→i+1 of the aligned est is:
+    #   rot   = R_est_i^T R_est_{i+1}                      (alignment cancels)
+    #   trans = c * R_est_i^T (t_est_{i+1} - t_est_i)      (scaled only)
+    # and for the error pose E = rel_ref^{-1} rel_est the leading rel_R_ref^T
+    # drops out of ||trans(E)|| (rotation-invariant norm) — hence only the
+    # ATE scale c appears below.
     RtT_est = np.swapaxes(R_est[:-1], -1, -2)
     RtT_ref = np.swapaxes(R_ref[:-1], -1, -2)
     rel_R_est = RtT_est @ R_est[1:]

@@ -132,6 +132,9 @@ def _depth_evaluation_jit(
 
     safe_p = jnp.where(metric_mask, p_log, 1.0)
     max_ratio = jnp.maximum(safe_p / safe_gt, safe_gt / safe_p)
+    # "delta < 1." is identically 0 (max(p/g, g/p) >= 1 always) — the
+    # reference computes the same dead threshold (eval_depth.py:162,
+    # threshold_0) and we reproduce it for CSV-column parity
     d0 = masked_mean((max_ratio < 1.0).astype(jnp.float32), mm)
     d1 = masked_mean((max_ratio < 1.25).astype(jnp.float32), mm)
     d2 = masked_mean((max_ratio < 1.25**2).astype(jnp.float32), mm)

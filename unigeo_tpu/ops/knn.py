@@ -64,6 +64,10 @@ def knn(query, ref, k: int, chunk: int = 1024):
     """
     query = query.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
+    # fewer reference points than requested neighbors (sparsely-valid clips,
+    # tiny downsample_num): return every point and pad the remaining columns
+    # by repeating the farthest neighbor instead of letting top_k raise
+    k_eff = min(k, ref.shape[0])
     q_padded, n = _pad_rows(query, chunk)
     ref_sq = jnp.sum(ref * ref, axis=-1)
 
@@ -71,9 +75,15 @@ def knn(query, ref, k: int, chunk: int = 1024):
         q_sq = jnp.sum(q_chunk * q_chunk, axis=-1, keepdims=True)
         d2 = q_sq + ref_sq[None, :] - 2.0 * (q_chunk @ ref.T)
         d2 = jnp.maximum(d2, 0.0)
-        neg_d2, idx = jax.lax.top_k(-d2, k)
+        neg_d2, idx = jax.lax.top_k(-d2, k_eff)
         return jnp.sqrt(-neg_d2), idx
 
     chunks = q_padded.reshape(-1, chunk, 3)
     dists, idx = jax.lax.map(body, chunks)
-    return dists.reshape(-1, k)[:n], idx.reshape(-1, k)[:n]
+    dists = dists.reshape(-1, k_eff)[:n]
+    idx = idx.reshape(-1, k_eff)[:n]
+    if k_eff < k:
+        pad = k - k_eff
+        dists = jnp.concatenate([dists, jnp.repeat(dists[:, -1:], pad, 1)], 1)
+        idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], pad, 1)], 1)
+    return dists, idx
