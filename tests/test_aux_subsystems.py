@@ -256,3 +256,28 @@ def test_dataset_timeit_and_config_roundtrip(tmp_path):
     assert type(ds2) is SyntheticBoxDataset
     assert ds2.clip_length == 2 and ds2.clip_overlap == 0
     assert len(ds2) == len(ds)
+
+
+def test_config_max_depth_honored(tmp_path):
+    """YAML max_depth (eval_depth block or top level) reaches EvalConfig."""
+    import yaml
+
+    from unigeo_tpu.config import EvalConfig
+
+    base = {
+        "dataset": "SyntheticBoxDataset",
+        "model_name": "IdentityModel",
+        "h": 64, "w": 64,
+        "eval_depth": {"metric_names": ["Abs Rel"], "max_depth": 10.0},
+    }
+    assert EvalConfig.from_dict(base).max_depth == 10.0
+    base2 = {
+        "dataset": "SyntheticBoxDataset",
+        "model_name": "IdentityModel",
+        "h": 64, "w": 64,
+        "max_depth": 12.5,
+        "eval_depth": {"metric_names": ["Abs Rel"]},
+    }
+    assert EvalConfig.from_dict(base2).max_depth == 12.5
+    del base2["max_depth"]
+    assert EvalConfig.from_dict(base2).max_depth == 80.0

@@ -346,3 +346,39 @@ def test_forward_batch_heterogeneous_shapes_fall_back(shared_tiny_pipeline):
     outs = model.forward_batch([ds_small[0], ds_big[0]])
     assert outs[0]["pred_depths"].shape == (2, 64, 64)
     assert outs[1]["pred_depths"].shape == (3, 64, 64)
+
+
+def test_windowed_stitching_true_crossfade(shared_tiny_pipeline, monkeypatch):
+    """Seam blending is a true crossfade: inside the overlap the old window
+    ramps down as the new ramps up, and the new window is at FULL weight
+    immediately after the overlap (no weight discontinuity)."""
+    pipe = shared_tiny_pipeline
+    calls = []
+
+    def fake_window(params, chunk, noise, steps, aug_noise=None):
+        # window wi returns the constant wi in [-1,1] decode space
+        wi = len(calls)
+        calls.append(wi)
+        return jnp.full(chunk.shape, float(wi), jnp.float32)
+
+    monkeypatch.setattr(pipe, "run_window_staged", fake_window)
+    frames = np.zeros((10, 64, 64, 3), np.float32)
+    out = pipe(frames, num_inference_steps=1, window_size=4, overlap=2)
+    vals = out[:, 0, 0, 0] * 2.0 - 1.0  # undo the (x+1)/2
+    # windows: [0..3]=0, [2..5]=1, [4..7]=2, [6..9]=3
+    # frames 0,1: only window 0 → exactly 0
+    assert np.allclose(vals[:2], 0.0, atol=1e-6)
+    # frame 3 is inside overlap of windows 0/1: strictly between 0 and 1
+    assert 0.0 < vals[3] < 1.0
+    # frames just after each overlap carry the NEW window at FULL weight
+    # (the old accumulate-ramp scheme left them at a blended value)
+    assert np.allclose(vals[8:], 3.0, atol=1e-6)
+    # monotone along the clip (each later window has a larger constant)
+    assert (np.diff(vals) >= -1e-6).all()
+
+
+def test_windowed_stitching_rejects_overlap_ge_window(shared_tiny_pipeline):
+    frames = np.zeros((10, 64, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="overlap"):
+        shared_tiny_pipeline(frames, num_inference_steps=1,
+                             window_size=4, overlap=4)

@@ -90,15 +90,19 @@ def test_stablenormal_contract(clip, shared_tiny_pipeline):
 
 
 def test_unigeo_cam_contract(clip, shared_tiny_pipeline):
-    """The UniGeoCam slot emits all four prediction families."""
+    """UniGeoCam emits depth + normals ONLY (like the reference DepthCrafter
+    adapter): per-frame self-consistent backprojections would yield identity
+    PnP poses, so no pred_world_pts/pred_poses are fabricated."""
     from unigeo_tpu.models.unigeo_cam import UniGeoCam
 
     model = UniGeoCam(num_inference_steps=2, pipeline=shared_tiny_pipeline)
     out = model.forward(clip)
-    for key in ("pred_world_pts", "pred_depths", "pred_normals", "pred_poses"):
+    for key in ("pred_depths", "pred_normals"):
         assert key in out and np.isfinite(out[key]).all(), key
-    assert out["pred_poses"].shape == (2, 4, 4)
+    assert "pred_world_pts" not in out and "pred_poses" not in out
     assert (out["pred_depths"] > 0).all()
+    norms = np.linalg.norm(out["pred_normals"], axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-3)
 
 
 def test_spann3r_rope_dpt_mode(clip):
@@ -176,3 +180,23 @@ def test_dpt_mode_end_to_end_with_enc_width_hook(clip):
     h, w = clip["images"][0].shape[-2:]
     assert out["pred_world_pts"].shape == (nf, h, w, 3)
     assert np.isfinite(out["pred_world_pts"]).all()
+
+
+def test_spann3r_empty_memory_slots_are_attention_masked():
+    """Frame-0 output must be IDENTICAL regardless of ring capacity: empty
+    ring slots carry zero softmax weight (a value-only mask would dilute
+    cross-attention by N/(N+mem_size) and change with memory_frames)."""
+    import jax.numpy as jnp
+
+    from unigeo_tpu.models.pointmap.spann3r import Spann3RNetwork
+
+    cfg = dict(enc_width=32, enc_depth=1, enc_heads=2, dec_width=32,
+               dec_depth=1, dec_heads=2, patch_size=16)
+    net2 = Spann3RNetwork(memory_frames=2, **cfg)
+    net4 = Spann3RNetwork(memory_frames=4, **cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    params = net2.init(jax.random.PRNGKey(0), frames)
+    pts2, _ = net2.apply(params, frames)
+    pts4, _ = net4.apply(params, frames)
+    assert np.abs(np.asarray(pts2) - np.asarray(pts4)).max() < 1e-5

@@ -123,6 +123,11 @@ class EvalConfig:
             ),
             vis_depth=bool(config.get("vis_depth", False)),
             vis_pcd=bool(config.get("vis_pcd", False)),
+            max_depth=float(
+                (config.get("eval_depth") or {}).get(
+                    "max_depth", config.get("max_depth", 80.0)
+                )
+            ),
             raw=config,
         )
 

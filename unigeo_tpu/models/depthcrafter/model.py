@@ -178,11 +178,12 @@ class DepthCrafter:
             aug = None
             if pipe.noise_aug_strength > 0:
                 # the exact aug noise the serial __call__ draws per clip
+                from unigeo_tpu.models.depthcrafter.pipeline import aug_noise_rng
+
                 aug = np.broadcast_to(
                     np.asarray(
                         jax.random.normal(
-                            jax.random.fold_in(rng, 0xA06), (t, h, w, 3),
-                            jnp.float32,
+                            aug_noise_rng(rng), (t, h, w, 3), jnp.float32
                         )
                     ),
                     (b, t, h, w, 3),

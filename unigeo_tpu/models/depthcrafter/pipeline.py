@@ -16,8 +16,8 @@ jitted JAX program per window:
             x = euler_step(x, denoised(x, v, σ), σ, σ_next)
       → VAE.decode(x / 0.18215) → [T,H,W,3] in [-1,1]
 
-Long clips run as overlapping windows whose latents are linearly blended on
-the overlap (the reference pipeline's window/overlap stitching,
+Long clips run as overlapping windows whose decoded frames are crossfaded
+on the overlap (the reference pipeline's window/overlap stitching,
 depthcrafter.py:87-88 — a no-op at window == clip length).
 
 bf16 activations on TPU, f32 parameters, one compilation per (T,H,W).
@@ -39,6 +39,21 @@ from unigeo_tpu.models.depthcrafter.scheduler import (
 from unigeo_tpu.models.depthcrafter.unet import UNetSpatioTemporal
 from unigeo_tpu.models.depthcrafter.vae import AutoencoderKLTemporal
 from unigeo_tpu.models.vit import ClipImageEmbedder
+
+
+AUG_NOISE_FOLD = 0xA06  # fold_in tag for the conditioning-aug noise stream
+
+
+def aug_noise_rng(rng):
+    """The conditioning-noise-augmentation PRNG stream for a clip seed.
+
+    Single source of truth for the serial pipeline AND every batched /
+    sharded executor that promises serial-matching numerics — re-derive it
+    from here, never hardcode the fold constant.
+    """
+    import jax
+
+    return jax.random.fold_in(rng, AUG_NOISE_FOLD)
 
 
 class DepthCrafterPipeline:
@@ -291,7 +306,7 @@ class DepthCrafterPipeline:
         window_size = window_size or t
         rng = jax.random.PRNGKey(seed)
 
-        aug_rng = jax.random.fold_in(rng, 0xA06)
+        aug_rng = aug_noise_rng(rng)
 
         if window_size >= t:
             noise = jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)
@@ -307,8 +322,18 @@ class DepthCrafterPipeline:
             return np.asarray((out + 1.0) / 2.0)
 
         stride = window_size - overlap
+        if stride <= 0:
+            raise ValueError(
+                f"overlap ({overlap}) must be smaller than window_size "
+                f"({window_size}) when the clip is longer than one window"
+            )
+        # True crossfade on each seam (the reference pipeline's stitching):
+        # over the overlap the OLD window ramps 1→ down while the NEW ramps
+        # 0→ up, and the new window is at full weight immediately after the
+        # overlap — an accumulate-and-normalize ramp would leave a weight
+        # discontinuity at every seam.
         acc = np.zeros((t, h, w, 3), np.float32)
-        weight = np.zeros((t, 1, 1, 1), np.float32)
+        prev_end = 0
         starts = list(range(0, t - overlap, stride))
         for wi, start in enumerate(starts):
             end = min(start + window_size, t)
@@ -332,12 +357,17 @@ class DepthCrafterPipeline:
                     self.params, chunk, noise, num_inference_steps, aug_noise=aug
                 )
             )
-            ramp = np.ones((window_size, 1, 1, 1), np.float32)
-            if wi > 0 and overlap > 0:
-                ramp[:overlap, 0, 0, 0] = np.linspace(0.0, 1.0, overlap, endpoint=False)
-            acc[start:end] += out * ramp
-            weight[start:end] += ramp
-        return (acc / np.maximum(weight, 1e-8) + 1.0) / 2.0
+            ov = min(prev_end, end) - start  # frames already written
+            if wi > 0 and ov > 0:
+                r = np.linspace(0.0, 1.0, ov, endpoint=False).reshape(-1, 1, 1, 1)
+                acc[start : start + ov] = (
+                    (1.0 - r) * acc[start : start + ov] + r * out[:ov]
+                )
+                acc[start + ov : end] = out[ov:]
+            else:
+                acc[start:end] = out
+            prev_end = end
+        return (acc + 1.0) / 2.0
 
 
 def tiny_pipeline(height=64, width=64, num_frames=4, seed=0) -> DepthCrafterPipeline:

@@ -86,10 +86,15 @@ class Attention(nn.Module):
     rope_freq: Optional[float] = None  # CroCo/DUSt3R 2D RoPE base (e.g. 100)
 
     @nn.compact
-    def __call__(self, x, context=None, pos=None, ctx_pos=None):
+    def __call__(self, x, context=None, pos=None, ctx_pos=None, ctx_mask=None):
         """pos / ctx_pos: [.., S, 2] integer (y, x) patch positions for 2D
         RoPE on q / k (only when ``rope_freq`` is set); entries with y < 0
-        are left unrotated (positionless tokens)."""
+        are left unrotated (positionless tokens).
+
+        ctx_mask: optional [Sk] or [B, Sk] key-validity mask — masked-out
+        keys receive zero softmax weight (used for ring-memory context with
+        empty slots; zero-VALUE slots alone would still soak up attention
+        mass)."""
         from unigeo_tpu.ops.attention import attention_packed, use_packed_attention
 
         c = x.shape[-1]
@@ -128,7 +133,26 @@ class Attention(nn.Module):
                     head_dim, kpos, self.rope_freq, k.dtype
                 )
                 k = apply_rope_2d(kh, cos_k, sin_k).reshape(b, sk, inner)
-        if self.packed and use_packed_attention(s):
+        if ctx_mask is not None:
+            # masked dense attention (the flash kernels carry no key mask;
+            # ring-memory contexts are ≤ a few thousand keys, so dense is fine)
+            qh = q.reshape(b, s, self.num_heads, head_dim)
+            kh = k.reshape(b, sk, self.num_heads, head_dim)
+            vh = v.reshape(b, sk, self.num_heads, head_dim)
+            logits = (
+                jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * head_dim**-0.5
+            )
+            mb = jnp.broadcast_to(
+                jnp.asarray(ctx_mask, bool).reshape(-1, sk), (b, sk)
+            )
+            logits = jnp.where(mb[:, None, None, :], logits, -1e30)
+            m = logits.max(-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p, vh) / jnp.maximum(
+                p.sum(-1, keepdims=True), 1e-30
+            ).swapaxes(1, 2)
+            out = out.reshape(b, s, inner)
+        elif self.packed and use_packed_attention(s):
             # q/k/v stay in the [B, S, H·D] layout the projections emit and
             # the out-projection consumes — zero layout copies
             out = attention_packed(q, k, v, self.num_heads, head_dim**-0.5)

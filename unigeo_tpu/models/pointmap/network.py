@@ -71,11 +71,13 @@ class PointmapDecoder(nn.Module):
     norm_context: bool = False  # CroCo norm_y (per-block memory LayerNorm)
 
     @nn.compact
-    def __call__(self, tokens, context, pos=None, ctx_pos=None):
+    def __call__(self, tokens, context, pos=None, ctx_pos=None, ctx_mask=None):
         """tokens [B, N, C_enc] cross-attend to context [B, M, width].
 
         pos / ctx_pos: (y, x) patch positions for RoPE mode (entries with
         y < 0 — e.g. state/memory tokens without a grid slot — unrotated).
+        ctx_mask: optional [M] / [B, M] key-validity mask (empty ring-memory
+        slots must get zero softmax weight, not just zero values).
         """
         h = nn.Dense(self.width, name="proj_in")(tokens)
         out = ScannedViTBlocks(
@@ -83,7 +85,7 @@ class PointmapDecoder(nn.Module):
             return_layers=self.return_hooks, qkv_bias=self.qkv_bias,
             rope_freq=_rope_freq(self.pos_embed),
             norm_context=self.norm_context, name="blocks",
-        )(h, context, pos=pos, ctx_pos=ctx_pos)
+        )(h, context, pos=pos, ctx_pos=ctx_pos, ctx_mask=ctx_mask)
         if not self.return_hooks:
             return nn.LayerNorm(epsilon=1e-5, name="norm")(out)
         h, layers = out

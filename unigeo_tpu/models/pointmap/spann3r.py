@@ -52,15 +52,18 @@ class _MemoryStep(nn.Module):
     def __call__(self, carry, tok, pos, ctx_pos):
         mem, mem_mask, slot = carry
         n_tok = tok.shape[0]
-        # decode current frame against [its own projection ⊕ ring memory]
+        # decode current frame against [its own projection ⊕ ring memory];
+        # empty ring slots are ATTENTION-masked — zero values alone would
+        # still soak up softmax mass and dilute early frames' cross-attention
         self_ctx = nn.Dense(self.dec_width, name="memory_proj")(tok)
         ctx = jnp.concatenate([self_ctx, mem * mem_mask[:, None]], axis=0)
+        ctx_mask = jnp.concatenate([jnp.ones((n_tok,)), mem_mask], axis=0)
         out = PointmapDecoder(
             self.dec_width, self.dec_depth, self.dec_heads,
             return_hooks=self.return_hooks, pos_embed=self.pos_embed,
             qkv_bias=self.qkv_bias, norm_context=self.norm_context,
             name="decoder",
-        )(tok[None], ctx[None], pos=pos, ctx_pos=ctx_pos)
+        )(tok[None], ctx[None], pos=pos, ctx_pos=ctx_pos, ctx_mask=ctx_mask)
         if self.return_hooks:
             dec, hooks = out[0][0], [h[0] for h in out[1]]
         else:

@@ -10,8 +10,14 @@ prediction families are derived:
   depth    channel-mean → clip min-max → 1/(x+0.1)   (DepthCrafter recipe)
   normals  decoded triplet renormalized to unit vectors (StableNormal
            recipe, x-flip)
-  points   depth backprojected with Weiszfeld-estimated focal
-  poses    batched DLT-PnP on the pointmaps (camera_solver)
+
+Like the reference's DepthCrafter adapter (model/depthcrafter.py — depth +
+normals only), this model emits NO pred_world_pts / pred_poses: the
+diffusion decodes per-frame depth, and points backprojected per-frame with
+the GT intrinsics live in each frame's OWN camera frame — PnP on such
+self-consistent pointmaps recovers the identity pose by construction, so
+emitting them would silently poison pcd/camera metrics.  Evaluate with
+eval_depth / eval_normal.
 
 When the paper's exact head layout becomes known, only the decode mapping
 changes; the conditioning, scheduler, and UNet are shared with DepthCrafter.
@@ -25,11 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unigeo_tpu import coords
-from unigeo_tpu.models.camera_solver import solve_depth_and_camera_from_pointmaps
 from unigeo_tpu.models.depthcrafter.pipeline import DepthCrafterPipeline
-from unigeo_tpu.ops.backproject import backproject_batch_cv
-from unigeo_tpu.ops.normals import surface_normals_from_points
 from unigeo_tpu.registry import MODELS
 
 
@@ -82,25 +84,12 @@ class UniGeoCam:
         normals[..., 0] *= -1.0
         normals /= np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-6)
 
-        # geometry branch: backproject with the GT intrinsics; refuse to
-        # fabricate pointmaps without them (a repeat-z tensor is not
-        # geometry and would silently poison pcd/camera metrics)
-        if "intrinsics" not in data:
-            raise ValueError(
-                "UniGeoCam needs per-frame intrinsics in the sample to emit "
-                "world points / poses; got none. Run with eval_depth/"
-                "eval_normal only, or provide intrinsics."
-            )
-        K = np.asarray(data["intrinsics"], np.float32)
-        world_src = np.asarray(
-            backproject_batch_cv(jnp.asarray(depths), jnp.asarray(K))
-        )
-        _, extrinsics, _ = solve_depth_and_camera_from_pointmaps(jnp.asarray(world_src))
-        poses = coords.se3_inverse(np.asarray(extrinsics)).astype(np.float32)
-
+        # No geometry branch: per-frame backprojections with the same K are
+        # self-consistent, so PnP would recover identity poses and the
+        # "world" points would mix per-frame camera frames (see module
+        # docstring) — depth + normals only, like the reference DepthCrafter
+        # adapter.
         return {
-            "pred_world_pts": world_src.astype(np.float32),
             "pred_depths": depths,
             "pred_normals": normals.astype(np.float32),
-            "pred_poses": poses,
         }

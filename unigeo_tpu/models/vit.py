@@ -53,6 +53,7 @@ class ViTBlock(nn.Module):
         context: Optional[jnp.ndarray] = None,
         pos: Optional[jnp.ndarray] = None,
         ctx_pos: Optional[jnp.ndarray] = None,
+        ctx_mask: Optional[jnp.ndarray] = None,
     ):
         x = x + Attention(
             self.num_heads, qkv_bias=self.qkv_bias, rope_freq=self.rope_freq,
@@ -69,7 +70,7 @@ class ViTBlock(nn.Module):
                 rope_freq=self.rope_freq, name="cross_attn",
             )(
                 nn.LayerNorm(epsilon=1e-5, name="norm_cross")(x), ctx,
-                pos=pos, ctx_pos=ctx_pos,
+                pos=pos, ctx_pos=ctx_pos, ctx_mask=ctx_mask,
             )
         x = x + MLP(act=self.act, name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         return x
@@ -87,11 +88,11 @@ class _BlockStep(nn.Module):
     norm_context: bool = False
 
     @nn.compact
-    def __call__(self, x, context, pos, ctx_pos):
+    def __call__(self, x, context, pos, ctx_pos, ctx_mask):
         x = ViTBlock(
             self.num_heads, self.qkv_bias, self.act, self.rope_freq,
             self.norm_context, name="block",
-        )(x, context if self.with_cross else None, pos, ctx_pos)
+        )(x, context if self.with_cross else None, pos, ctx_pos, ctx_mask)
         return x, (x if self.collect else None)
 
 
@@ -119,6 +120,7 @@ class ScannedViTBlocks(nn.Module):
         context: Optional[jnp.ndarray] = None,
         pos: Optional[jnp.ndarray] = None,
         ctx_pos: Optional[jnp.ndarray] = None,
+        ctx_mask: Optional[jnp.ndarray] = None,
     ):
         Scan = nn.scan(
             _BlockStep,
@@ -131,7 +133,7 @@ class ScannedViTBlocks(nn.Module):
             self.num_heads, self.with_cross, self.qkv_bias, self.act,
             self.return_layers, self.rope_freq, self.norm_context,
             name="layers",
-        )(x, context, pos, ctx_pos)
+        )(x, context, pos, ctx_pos, ctx_mask)
         if self.return_layers:
             return x, layers
         return x

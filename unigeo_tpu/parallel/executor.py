@@ -116,11 +116,13 @@ class ShardedClipExecutor:
         noise = np.asarray(noise, np.float32)
         if aug_noise is None:
             if self.pipeline.noise_aug_strength > 0:
-                # same per-clip aug the serial pipeline draws (fold 0xA06)
+                # same per-clip aug the serial pipeline draws
+                from unigeo_tpu.models.depthcrafter.pipeline import aug_noise_rng
+
                 aug_noise = np.broadcast_to(
                     np.asarray(
                         jax.random.normal(
-                            jax.random.fold_in(rng, 0xA06), (t, h, w, 3), jnp.float32
+                            aug_noise_rng(rng), (t, h, w, 3), jnp.float32
                         )
                     ),
                     (b, t, h, w, 3),

@@ -123,10 +123,12 @@ class PipelinedStageExecutor:
                 (b, t, h // 8, w // 8, 4),
             )
         if aug_noise is None and self.pipe.noise_aug_strength > 0:
+            from unigeo_tpu.models.depthcrafter.pipeline import aug_noise_rng
+
             aug_noise = np.broadcast_to(
                 np.asarray(
                     jax.random.normal(
-                        jax.random.fold_in(rng, 0xA06), (t, h, w, 3), jnp.float32
+                        aug_noise_rng(rng), (t, h, w, 3), jnp.float32
                     )
                 ),
                 (b, t, h, w, 3),

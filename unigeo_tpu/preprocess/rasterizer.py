@@ -77,10 +77,11 @@ def rasterize_mesh(
         x1 = np.clip(np.ceil(us.max(1)), 0, w - 1).astype(np.int64)
         y0 = np.clip(np.floor(vs.min(1)), 0, h - 1).astype(np.int64)
         y1 = np.clip(np.ceil(vs.max(1)), 0, h - 1).astype(np.int64)
-        small = (x1 - x0 <= 64) & (y1 - y0 <= 64)  # skip degenerate giants
-        order = np.nonzero(small)[0]
-
-        for i in order:
+        # rasterize EVERY visible triangle — the bbox is already clipped to
+        # the screen, so even a near-camera wall (huge bbox) costs at most
+        # one [h, w] meshgrid; skipping "big" triangles would punch holes in
+        # the GT depth/normals exactly where geometry is closest
+        for i in range(len(fb)):
             xa, xb_, ya, yb_ = x0[i], x1[i], y0[i], y1[i]
             if xb_ < xa or yb_ < ya:
                 continue

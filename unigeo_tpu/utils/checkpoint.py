@@ -106,9 +106,18 @@ def torch_key_to_flax_path(name: str) -> tuple:
     our stage naming) are applied by the per-model tables below.
     """
     name = name.replace(".weight", "/kernel").replace(".bias", "/bias")
-    # norms use scale, not kernel
-    name = re.sub(r"(norm[0-9]*|group_norm|layer_norm[0-9]*)\/kernel", r"\1/scale", name)
-    return tuple(p for p in name.replace(".", "/").split("/") if p)
+    parts = [p for p in name.replace(".", "/").split("/") if p]
+    # norms use scale, not kernel — the owning module is norm-flavored when
+    # it contains a word-bounded "norm"/"layernorm" token (norm1, norm_in,
+    # norm_cross, conv_norm_out, group_norm, layer_norm2, pre_layernorm —
+    # but not e.g. "enormous")
+    if (
+        len(parts) >= 2
+        and parts[-1] == "kernel"
+        and re.search(r"(?:^|_)(?:layer)?norm\d*(?:_|$)", parts[-2])
+    ):
+        parts[-1] = "scale"
+    return tuple(parts)
 
 
 def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[tuple, np.ndarray]:

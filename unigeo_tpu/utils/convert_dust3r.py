@@ -78,6 +78,19 @@ def convert_dpt_head(state_dict: Dict[str, Any]) -> Dict[Tuple[str, ...], np.nda
     dust3r prefixes (``dpt.``, ``downstream_head1.dpt.``) — prefixes are
     stripped to the shared ``dpt`` root of DPTPointmapHead.
     """
+    heads = {
+        m.group(1)
+        for m in (re.match(r"^(downstream_head\d+)\.", n) for n in state_dict)
+        if m
+    }
+    if len(heads) > 1:
+        # stripping the prefix would silently collapse head1/head2 onto one
+        # flax path (last write wins) — make the caller split per head
+        raise ValueError(
+            f"state dict contains multiple DPT heads {sorted(heads)}; "
+            "filter to one head per convert_dpt_head call, e.g. "
+            "{k: v for k, v in sd.items() if k.startswith('downstream_head1.')}"
+        )
     flat: Dict[Tuple[str, ...], np.ndarray] = {}
     for name, tensor in state_dict.items():
         arr = tensor.numpy() if hasattr(tensor, "numpy") else np.asarray(tensor)

@@ -77,13 +77,13 @@ def colorize(
 ) -> np.ndarray:
     """[H,W] scalar map → [H,W,3] uint8 colormapped (reference default
     Spectral_r, vis_utils.py:88-120)."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     value = np.asarray(value, np.float32)
     vmin = float(np.nanmin(value)) if vmin is None else vmin
     vmax = float(np.nanmax(value)) if vmax is None else vmax
     norm = (value - vmin) / max(vmax - vmin, 1e-8)
-    rgba = cm.get_cmap(cmap)(np.clip(norm, 0, 1))
+    rgba = matplotlib.colormaps[cmap](np.clip(norm, 0, 1))
     return (rgba[..., :3] * 255).astype(np.uint8)
 
 
