@@ -17,31 +17,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+from tools._benchlib import measure_rtt as _rtt, setup_cache, time_single
 
-
-def _rtt():
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(trivial(jnp.float32(0.0)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+setup_cache()
 
 
 def timed(fn, *args, reps=5, rtt=0.0):
-    s = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
-    float(s(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(s(*args))
-        ts.append(time.perf_counter() - t0)
-    return max(min(ts) - rtt, 1e-9)
+    return time_single(fn, *args, reps=reps, rtt=rtt)
+
+
 
 
 def main():
