@@ -38,123 +38,141 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     def time_unet(label):
-        unet = unet_mod.UNetSpatioTemporal()
-        sample = jax.random.normal(rng, (T, LH, LW, 8), DTYPE)
+        # measure through the PRODUCTION 5-step denoise program (fori_loop)
+        # and divide by the step count: the standalone single-step program
+        # deterministically SIGILLs the terminal's TPU fusion pass, while
+        # the fori_loop variant is exactly what bench.py runs
+        from unigeo_tpu.models.depthcrafter.pipeline import DepthCrafterPipeline
+
+        pipe = DepthCrafterPipeline()
+        unet = pipe.unet = unet_mod.UNetSpatioTemporal()
         ctx = jax.random.normal(rng, (T, 1, 1024), DTYPE)
-        added = jnp.zeros((1, 3), jnp.float32)
         shapes = jax.eval_shape(
-            lambda r: unet.init(r, sample, jnp.zeros((1,)), ctx, added, T), rng
+            lambda r: unet.init(
+                r, jnp.zeros((T, LH, LW, 8)), jnp.zeros((1,)), ctx,
+                jnp.zeros((1, 3)), T,
+            ),
+            rng,
         )["params"]
-        params = jax.tree.map(
-            lambda s: jnp.zeros(s.shape, DTYPE), shapes
-        )
+        params = {"unet": jax.tree.map(lambda s: jnp.zeros(s.shape, DTYPE), shapes)}
+        cond = jnp.zeros((T, LH, LW, 4), DTYPE)
+        noise = jax.random.normal(jax.random.PRNGKey(1), (T, LH, LW, 4))
+        steps = 5
+        fsum = jax.jit(lambda x: x.sum())
 
-        # single dispatch: a full step (~300 ms) dwarfs the ~30 ms RTT, and
-        # scanning K steps in one program SIGILLs the TPU fusion pass
-        @jax.jit
-        def prog(params, x):
-            y = unet.apply(
-                {"params": params}, x, jnp.full((1,), 500.0), ctx, added, T
-            )
-            return jnp.sum(y.astype(jnp.float32))
+        def run():
+            return float(fsum(pipe._denoise_stage(params, cond, ctx, noise, steps)))
 
-        float(prog(params, sample))
+        run()
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(prog(params, sample))
+            run()
             ts.append(time.perf_counter() - t0)
-        ms = max(min(ts) - rtt, 0.0) * 1e3
+        ms = max(min(ts) - rtt, 0.0) * 1e3 / steps
         print(f"{label:44s} {ms:8.1f} ms/step", flush=True)
         return ms
 
     full = time_unet("FULL step")
 
     # --- omission variants ---
+    # real nn.Module subclasses patched in by NAME (unet.py resolves the
+    # class globals at call time); plain-function __call__ replacements
+    # lack flax's compact wrapping and mis-scope their submodules
     import flax.linen as nn
 
     saved = {}
 
-    def patch(cls_name, fn):
-        saved[cls_name] = getattr(unet_mod, cls_name).__call__
-        getattr(unet_mod, cls_name).__call__ = fn
+    def patch(cls_name, cls):
+        saved[cls_name] = getattr(unet_mod, cls_name)
+        setattr(unet_mod, cls_name, cls)
 
     def restore():
-        for name, fn in saved.items():
-            getattr(unet_mod, name).__call__ = fn
+        for name, cls in saved.items():
+            setattr(unet_mod, name, cls)
         saved.clear()
 
-    # 1. no transformers at all
-    patch("TransformerSpatioTemporal", lambda self, x, context, num_frames: x)
+    class TSTIdentity(unet_mod.TransformerSpatioTemporal):
+        @nn.compact
+        def __call__(self, x, context, num_frames):
+            return x
+
+    patch("TransformerSpatioTemporal", TSTIdentity)
     no_tr = time_unet("transformers -> identity")
     restore()
 
-    # 2. spatial self-attn -> identity (keep FF/norm/cross)
-    orig_attn = None
+    class BTBNoAttn(unet_mod.BasicTransformerBlock):
+        @nn.compact
+        def __call__(self, x, context):
+            x = x + unet_mod.Attention(
+                self.num_heads, self.head_dim, context_dim=self.context_dim,
+                name="attn2",
+            )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+            x = x + unet_mod.FeedForward(name="ff")(
+                nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+            )
+            return x
 
-    def btb_no_attn(self, x, context):
-        x = x + unet_mod.Attention(
-            self.num_heads, self.head_dim, context_dim=self.context_dim,
-            name="attn2",
-        )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
-        x = x + unet_mod.FeedForward(name="ff")(
-            nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
-        )
-        return x
-
-    patch("BasicTransformerBlock", btb_no_attn)
+    patch("BasicTransformerBlock", BTBNoAttn)
     no_sattn = time_unet("spatial self-attn -> identity")
     restore()
 
-    # 3. all FFs -> identity (spatial ff + temporal ff_in/ff)
-    def btb_no_ff(self, x, context):
-        x = x + unet_mod.Attention(self.num_heads, self.head_dim, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        )
-        x = x + unet_mod.Attention(
-            self.num_heads, self.head_dim, context_dim=self.context_dim,
-            name="attn2",
-        )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
-        return x
+    class BTBNoFF(unet_mod.BasicTransformerBlock):
+        @nn.compact
+        def __call__(self, x, context):
+            x = x + unet_mod.Attention(
+                self.num_heads, self.head_dim, name="attn1"
+            )(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
+            x = x + unet_mod.Attention(
+                self.num_heads, self.head_dim, context_dim=self.context_dim,
+                name="attn2",
+            )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+            return x
 
-    def ttb_no_ff(self, x, context):
-        x = x + unet_mod.Attention(self.num_heads, self.head_dim, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        )
-        x = x + unet_mod.Attention(
-            self.num_heads, self.head_dim, context_dim=self.context_dim,
-            name="attn2",
-        )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
-        return x
+    class TTBNoFF(unet_mod.TemporalTransformerBlock):
+        @nn.compact
+        def __call__(self, x, context):
+            x = x + unet_mod.Attention(
+                self.num_heads, self.head_dim, name="attn1"
+            )(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
+            x = x + unet_mod.Attention(
+                self.num_heads, self.head_dim, context_dim=self.context_dim,
+                name="attn2",
+            )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+            return x
 
-    patch("BasicTransformerBlock", btb_no_ff)
-    patch("TemporalTransformerBlock", ttb_no_ff)
+    patch("BasicTransformerBlock", BTBNoFF)
+    patch("TemporalTransformerBlock", TTBNoFF)
     no_ff = time_unet("all transformer FFs -> identity")
     restore()
 
-    # 4. temporal res blocks -> spatial only
-    def strb_spatial_only(self, x, emb, num_frames):
-        return unet_mod.SpatialResBlock(self.out_ch, name="spatial_res_block")(x, emb)
+    class STRBSpatialOnly(unet_mod.SpatioTemporalResBlock):
+        @nn.compact
+        def __call__(self, x, emb, num_frames):
+            return unet_mod.SpatialResBlock(
+                self.out_ch, name="spatial_res_block"
+            )(x, emb)
 
-    patch("SpatioTemporalResBlock", strb_spatial_only)
+    patch("SpatioTemporalResBlock", STRBSpatialOnly)
     no_tres = time_unet("temporal res blocks -> identity")
     restore()
 
-    # 5. temporal transformer pass -> identity (keep spatial transformer)
-    def tst_no_temporal(self, x, context, num_frames):
-        bt, hh, ww, c = x.shape
-        residual = x
-        h = unet_mod.GroupNorm(epsilon=1e-6, name="norm")(x)
-        h = h.reshape(bt, hh * ww, c)
-        h = nn.Dense(c, name="proj_in")(h)
-        h = unet_mod.BasicTransformerBlock(
-            self.num_heads, self.head_dim, self.context_dim,
-            name="transformer_blocks_0",
-        )(h, context)
-        h = nn.Dense(c, name="proj_out")(h)
-        return h.reshape(bt, hh, ww, c) + residual
+    class TSTNoTemporal(unet_mod.TransformerSpatioTemporal):
+        @nn.compact
+        def __call__(self, x, context, num_frames):
+            bt, hh, ww, c = x.shape
+            residual = x
+            h = unet_mod.GroupNorm(epsilon=1e-6, name="norm")(x)
+            h = h.reshape(bt, hh * ww, c)
+            h = nn.Dense(c, name="proj_in")(h)
+            h = unet_mod.BasicTransformerBlock(
+                self.num_heads, self.head_dim, self.context_dim,
+                name="transformer_blocks_0",
+            )(h, context)
+            h = nn.Dense(c, name="proj_out")(h)
+            return h.reshape(bt, hh, ww, c) + residual
 
-    patch("TransformerSpatioTemporal", tst_no_temporal)
+    patch("TransformerSpatioTemporal", TSTNoTemporal)
     no_ttr = time_unet("temporal transformer pass -> identity")
     restore()
 
