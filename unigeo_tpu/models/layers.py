@@ -181,14 +181,61 @@ class GEGLU(nn.Module):
         return h * nn.gelu(gate, approximate=not exact)
 
 
+class _DenseParams(nn.Module):
+    """kernel/bias with nn.Dense's exact names, shapes, and inits — lets the
+    fused-GEGLU path own Dense-compatible params (checkpoints unchanged)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (cin, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+class _GEGLUParams(nn.Module):
+    """Param scope mirroring GEGLU(name=...)/Dense(name='proj')."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return _DenseParams(self.dim_out * 2, name="proj")(cin)
+
+
 class FeedForward(nn.Module):
+    """GEGLU feed-forward: Dense(2·4C) → v·gelu(g) → Dense(C).
+
+    On TPU with bf16 throughout this runs as ONE fused Pallas kernel
+    (ops/geglu.py) that never materializes the [M, 4C] hidden tensor in HBM
+    (~0.5 ms of a ~1.9 ms FF at UNet stage-0 shapes; the UNet runs 48 FFs
+    per denoise step).  Param tree is identical to the unfused
+    GEGLU+Dense stack, and the unfused path reproduces flax Dense's dtype
+    promotion exactly.
+    """
+
     mult: int = 4
 
     @nn.compact
     def __call__(self, x):
+        from unigeo_tpu.ops.geglu import geglu_ffn, use_fused_geglu
+
         c = x.shape[-1]
-        h = GEGLU(c * self.mult, name="net_0")(x)
-        return nn.Dense(c, name="net_2")(h)
+        w1, b1 = _GEGLUParams(c * self.mult, name="net_0")(c)
+        w2, b2 = _DenseParams(c, name="net_2")(c * self.mult)
+
+        if use_fused_geglu(x.dtype, w1.dtype):
+            return geglu_ffn(x, w1, b1, w2) + b2.astype(x.dtype)
+
+        # unfused: same math/promotion as GEGLU(name="net_0") + Dense
+        dt = jnp.promote_types(jnp.promote_types(x.dtype, w1.dtype), b1.dtype)
+        h = x.astype(dt) @ w1.astype(dt) + b1.astype(dt)
+        v, g = jnp.split(h, 2, axis=-1)
+        act = v * nn.gelu(g, approximate=g.dtype == jnp.bfloat16)
+        return act @ w2.astype(dt) + b2.astype(dt)
 
 
 class AlphaBlender(nn.Module):
