@@ -7,7 +7,9 @@ naming exactly; conversion goes through utils/convert_dust3r.py.
 
 import numpy as np
 import pytest
-import torch
+import pytest
+
+torch = pytest.importorskip("torch")
 import torch.nn as tnn
 import torch.nn.functional as F
 

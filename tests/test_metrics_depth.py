@@ -95,7 +95,7 @@ def test_depth_evaluation_custom_mask_applied_after_alignment(rng):
 
 
 def test_median_alignment_torch_semantics(rng):
-    import torch
+    torch = pytest.importorskip("torch")
 
     pred, gt = _make_depths(rng)
     mask = (gt > 0) & (gt < 80)

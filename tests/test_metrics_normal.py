@@ -1,13 +1,14 @@
 """Golden-parity tests for normal evaluation (reference: eval_normal.py)."""
 
 import numpy as np
+import pytest
 
 from unigeo_tpu.metrics.normal import normal_evaluation
 
 
 def _golden(pred, gt, mask):
     """Reference formulas (eval_normal.py:12-33) with numpy + torch median."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     dot = (pred * gt).sum(-1)
     na = np.linalg.norm(pred, axis=-1)

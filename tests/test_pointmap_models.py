@@ -174,7 +174,9 @@ def test_dpt_mode_end_to_end_with_enc_width_hook(clip):
     (the DPT act_postprocess convs infer their input dims)."""
     cfg = dict(tiny_spann3r_config())
     cfg["head_type"] = "dpt"
-    model = Spann3R(**cfg)
+    model = Spann3R(network_config=cfg, init_height=64, init_width=64,
+                    init_frames=2)
+    assert model.network.head_type == "dpt"
     out = model.forward(clip)
     nf = len(clip["images"])
     h, w = clip["images"][0].shape[-2:]

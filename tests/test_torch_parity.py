@@ -23,7 +23,9 @@ import math
 
 import numpy as np
 import pytest
-import torch
+import pytest
+
+torch = pytest.importorskip("torch")
 import torch.nn as tnn
 import torch.nn.functional as F
 
@@ -712,7 +714,7 @@ def test_clip_matches_real_transformers():
     with torch.no_grad():
         t_emb = tclip(torch.from_numpy(pixel_values)).image_embeds  # [B, 32]
 
-    j_emb = grafted and jclip.apply(grafted, jnp.asarray(frames01))[:, 0]
+    j_emb = jclip.apply(grafted, jnp.asarray(frames01))[:, 0]
     assert_close(j_emb, t_emb, 2e-4, "clip")
 
 

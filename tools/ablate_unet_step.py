@@ -26,14 +26,13 @@ setup_cache()
 
 DTYPE = jnp.bfloat16
 T, LH, LW = 25, 48, 64
-K = 4
 
 
 def main():
     import unigeo_tpu.models.depthcrafter.unet as unet_mod
 
     rtt = measure_rtt()
-    print(f"device={jax.devices()[0].device_kind}  rtt={rtt*1e3:.1f} ms  K={K}",
+    print(f"device={jax.devices()[0].device_kind}  rtt={rtt*1e3:.1f} ms",
           flush=True)
     rng = jax.random.PRNGKey(0)
 

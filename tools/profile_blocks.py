@@ -22,35 +22,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+from tools._benchlib import measure_rtt as _rtt, setup_cache, time_single
+
+setup_cache()
 
 DTYPE = jnp.bfloat16
-
-
-def _rtt():
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(trivial(jnp.float32(0.0)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
 
 
 def _time(fn, *args, reps=5, rtt=0.0):
     """fn(*args) with ALL arrays (incl. params) passed as arguments —
     closed-over params lower as constants (GBs -> remote-compile 413)."""
-    s = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
-    float(s(*args))  # compile
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(s(*args))
-        times.append(time.perf_counter() - t0)
-    return max(min(times) - rtt, 0.0)
+    return time_single(fn, *args, reps=reps, rtt=rtt)
 
 
 def main():
@@ -102,7 +84,7 @@ def main():
         mult = 5 if i < 3 else 7
         record(f"res_block stage{i} {hh}x{ww}x{ch}", secs, mult)
 
-        if i < 3 or True:
+        if True:  # every stage has a transformer row (mid-only at stage 3)
             has_attn = i < 3
             tr = TransformerSpatioTemporal(nh, 64, ctx_dim)
             ctx = jax.random.normal(rng, (t, 1, ctx_dim), DTYPE)

@@ -42,7 +42,7 @@ def main():
 
     rows = []
     indices = range(0, len(dataset), args.every)
-    if args.max_samples:
+    if args.max_samples is not None:
         indices = list(indices)[: args.max_samples]
     for idx in indices:
         data = dataset[idx]
@@ -69,6 +69,9 @@ def main():
         )
         print(f"{name}  valid={rows[-1]['valid_frac']:.3f}")
 
+    if not rows:
+        print("no samples visited (empty dataset or max-samples 0); no CSV")
+        return
     with open(os.path.join(args.out, "data.csv"), "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         writer.writeheader()

@@ -56,6 +56,10 @@ def main():
     parser.add_argument("--ckpt-every", type=int, default=50)
     parser.add_argument("--log-dir", default="./train_logs")
     parser.add_argument("--tiny", action="store_true", help="tiny model configs")
+    parser.add_argument(
+        "--mesh", default=None,
+        help="device mesh shape 'dp,sp,tp' (default: auto-factored)",
+    )
     args = parser.parse_args()
 
     from unigeo_tpu.config import EvalConfig
@@ -65,12 +69,14 @@ def main():
     from unigeo_tpu.utils.checkpoint import TrainStateSaver
     from unigeo_tpu.utils.writers import EventWriter, TimeWriter
 
-    cfg = EvalConfig.from_dict(
-        dict(EvalConfig.from_yaml(args.config).raw, model_name=args.model or
-             EvalConfig.from_yaml(args.config).model_name)
-    )
+    cfg = EvalConfig.from_yaml(args.config)
+    if args.model:
+        cfg = EvalConfig.from_dict(dict(cfg.raw, model_name=args.model))
     dataset = get_dataset_cls(cfg.dataset)(**cfg.dataset_kwargs)
-    mesh = make_mesh()
+    mesh_shape = (
+        tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
+    )
+    mesh = make_mesh(shape=mesh_shape)
     writer = EventWriter(args.log_dir)
     saver = TrainStateSaver(args.ckpt_dir)
 
@@ -107,7 +113,8 @@ def main():
                           f"({timer.avg:.2f}s/step)")
                 if (step + 1) % args.ckpt_every == 0:
                     saver.save(jax.device_get(state.params), step + 1)
-        saver.save(jax.device_get(state.params), args.steps)
+        if args.steps % args.ckpt_every != 0:  # final state not yet saved
+            saver.save(jax.device_get(state.params), args.steps)
         print(f"done; checkpoints in {args.ckpt_dir}")
     else:
         raise SystemExit(
