@@ -23,7 +23,6 @@ import math
 
 import numpy as np
 import pytest
-import pytest
 
 torch = pytest.importorskip("torch")
 import torch.nn as tnn
@@ -727,3 +726,235 @@ def test_convert_rejects_nothing_silently():
     tvae = TVae()
     flat_v = convert_component(tvae.state_dict(), rename_vae_key)
     assert len(flat_v) == len(tvae.state_dict())
+
+
+# ---------------------------------------------------------------------------
+# composed-pipeline oracle (VERDICT r1 item 1)
+#
+# The component tests above pin each module; these pin the GLUE: the
+# diffusers EulerDiscrete schedule (Karras, leading spacing, continuous
+# c_noise), the sqrt(sigma_max^2+1) init scaling, the UNSCALED conditioning
+# latents, the noise augmentation, the 0.18215 decode scaling, and the
+# reference depth postproc (/root/reference/model/depthcrafter.py:79-97).
+# A drift in ANY of those passes every component test and fails here.
+# ---------------------------------------------------------------------------
+
+
+def _diffusers_euler_sigmas(num_inference_steps: int, use_karras=True):
+    """Independent reimplementation of diffusers EulerDiscreteScheduler
+    set_timesteps for the SVD config (scaled_linear betas in [0.00085,
+    0.012], 1000 train steps, timestep_spacing='leading', steps_offset=1,
+    karras sigmas with config sigma_min=0.002 / sigma_max=700, rho=7).
+    Written from the diffusers algorithm, NOT from our scheduler.py."""
+    n_train = 1000
+    betas = np.linspace(0.00085**0.5, 0.012**0.5, n_train, dtype=np.float64) ** 2
+    alphas_cumprod = np.cumprod(1.0 - betas)
+    sigmas_all = ((1.0 - alphas_cumprod) / alphas_cumprod) ** 0.5
+    step_ratio = n_train // num_inference_steps
+    timesteps = (
+        (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy()
+    ).astype(np.float64) + 1  # steps_offset
+    sigmas = np.interp(timesteps, np.arange(0, n_train), sigmas_all)
+    if use_karras:
+        sigma_min, sigma_max, rho = 0.002, 700.0, 7.0
+        ramp = np.linspace(0, 1, num_inference_steps)
+        min_inv_rho = sigma_min ** (1 / rho)
+        max_inv_rho = sigma_max ** (1 / rho)
+        sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def test_scheduler_sigmas_match_diffusers_algorithm():
+    from unigeo_tpu.models.depthcrafter.scheduler import (
+        EulerDiscreteConfig,
+        EulerDiscreteScheduler,
+    )
+
+    for karras in (True, False):
+        sched = EulerDiscreteScheduler(
+            EulerDiscreteConfig(use_karras_sigmas=karras)
+        )
+        ours = sched.inference_sigmas(5)
+        ref = _diffusers_euler_sigmas(5, use_karras=karras)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=0.0)
+    # continuous c_noise = 0.25 ln(sigma)
+    sched = EulerDiscreteScheduler(EulerDiscreteConfig())
+    sig = sched.inference_sigmas(5)[:-1]
+    np.testing.assert_allclose(
+        sched.timesteps_for_sigmas(sig), 0.25 * np.log(sig), rtol=1e-6
+    )
+
+
+def _build_matched_pipelines(seed=0):
+    """(torch models, grafted flax DepthCrafterPipeline) with identical tiny
+    weights: TUNet / TVae (diffusers structure) + REAL transformers CLIP."""
+    import jax.numpy as jnp
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    from unigeo_tpu.models.depthcrafter.pipeline import DepthCrafterPipeline
+
+    torch.manual_seed(seed)
+    tunet = TUNet().eval()
+    tvae = TVae().eval()
+    tclip = CLIPVisionModelWithProjection(
+        CLIPVisionConfig(
+            hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=2, image_size=64, patch_size=16,
+            projection_dim=UNET_CFG["cross_attention_dim"],
+            hidden_act="quick_gelu",
+        )
+    ).eval()
+
+    pipe = DepthCrafterPipeline(
+        unet_config=UNET_CFG,
+        vae_config=VAE_CFG,
+        clip_config=dict(
+            width=32, depth=2, num_heads=2, patch_size=16,
+            projection_dim=UNET_CFG["cross_attention_dim"], image_size=64,
+        ),
+        dtype=jnp.float32,
+    )
+    t, h, w = 4, 64, 64
+    pipe.init_params(jax.random.PRNGKey(seed), h, w, t)
+
+    vae_p = graft_strict(
+        {"params": pipe.params["vae"]}, tvae.state_dict(), rename_vae_key
+    )["params"]
+    unet_p = graft_strict(
+        {"params": pipe.params["unet"]}, tunet.state_dict(), rename_unet_key
+    )["params"]
+    flat = convert_component(
+        tclip.state_dict(), rename_clip_key,
+        stack_layers_prefix="vision_model.encoder.layers",
+    )
+    clip_tree = {"params": pipe.params["clip"]}
+    grafted, matched, missed = graft_flat_params(clip_tree, flat)
+    n = len(jax.tree_util.tree_leaves(clip_tree))
+    assert matched == n, f"clip grafted {matched}/{n}; missed {missed[:8]}"
+    pipe.params = {"vae": vae_p, "clip": grafted["params"], "unet": unet_p}
+    return (tunet, tvae, tclip), pipe, (t, h, w)
+
+
+def _torch_oracle(tunet, tvae, tclip, frames01, noise, aug_noise, steps,
+                  noise_aug_strength=0.02, scaling_factor=0.18215):
+    """The composed torch pipeline, mirroring the external torch
+    DepthCrafterPipeline the reference calls (model/depthcrafter.py:79-90):
+    CLIP embed + VAE-encode the noise-augmented frames, run the 5-step
+    EDM/Euler loop (v-prediction), decode, and apply the reference depth
+    postproc (:92-97).  All arrays NHWC float32 numpy in; torch NCHW inside.
+    Returns (decoded01 [T,H,W,3], depth [T,H,W])."""
+    t_frames = torch.from_numpy(np.moveaxis(frames01, -1, 1))  # [T,3,H,W]
+    T = t_frames.shape[0]
+
+    with torch.no_grad():
+        mean = torch.tensor(
+            [0.48145466, 0.4578275, 0.40821073]
+        ).view(1, 3, 1, 1)
+        std = torch.tensor(
+            [0.26862954, 0.26130258, 0.27577711]
+        ).view(1, 3, 1, 1)
+        context = tclip((t_frames - mean) / std).image_embeds[:, None, :]
+
+        pm1 = t_frames * 2.0 - 1.0
+        if aug_noise is not None:
+            pm1 = pm1 + noise_aug_strength * torch.from_numpy(
+                np.moveaxis(aug_noise, -1, 1)
+            )
+        cond = tvae.encode_mode(pm1)  # [T,4,h,w], UNSCALED (SVD semantics)
+
+        sigmas = _diffusers_euler_sigmas(steps)
+        x = torch.from_numpy(np.moveaxis(noise, -1, 1)) * math.sqrt(
+            float(sigmas[0]) ** 2 + 1.0
+        )
+        added = torch.tensor([[6.0, 127.0, noise_aug_strength]])
+        for i in range(steps):
+            s, s_next = float(sigmas[i]), float(sigmas[i + 1])
+            x_in = x / math.sqrt(s**2 + 1.0)
+            unet_in = torch.cat([x_in, cond], dim=1)
+            ts = torch.tensor([0.25 * math.log(s)], dtype=torch.float32)
+            v = tunet(unet_in, ts, context, added, T)
+            c_out = -s / math.sqrt(s**2 + 1.0)
+            c_skip = 1.0 / (s**2 + 1.0)
+            denoised = v * c_out + x * c_skip
+            x = x + (x - denoised) / s * (s_next - s)
+
+        dec = tvae.decoder(x / scaling_factor, T)  # [-1,1]
+
+    dec01 = (dec.numpy() + 1.0) / 2.0
+    res = dec01.mean(axis=1)  # channel mean  (reference :93)
+    res = (res - res.min()) / (res.max() - res.min())  # clip min-max (:95)
+    depth = 1.0 / (res + 0.1)  # (:96-97)
+    return np.moveaxis(dec01, 1, -1), depth
+
+
+def test_composed_pipeline_matches_torch_oracle():
+    """Full VAE-encode → 5-step denoise → decode parity with shared noise."""
+    (tunet, tvae, tclip), pipe, (t, h, w) = _build_matched_pipelines()
+    assert abs(pipe.vae.scaling_factor - 0.18215) < 1e-9
+
+    rng = np.random.default_rng(7)
+    frames01 = (
+        rng.integers(0, 256, size=(t, h, w, 3)).astype(np.float32) / 255.0
+    )
+    noise = rng.normal(size=(t, h // 8, w // 8, 4)).astype(np.float32)
+    aug = rng.normal(size=(t, h, w, 3)).astype(np.float32)
+
+    dec_ref, _ = _torch_oracle(tunet, tvae, tclip, frames01, noise, aug, 5)
+
+    import jax.numpy as jnp
+
+    out = pipe.run_window_staged(
+        pipe.params, jnp.asarray(frames01), jnp.asarray(noise), 5,
+        aug_noise=jnp.asarray(aug),
+    )
+    dec_jax = (np.asarray(out) + 1.0) / 2.0
+    scale = max(np.abs(dec_ref).max(), 1e-6)
+    rel = np.abs(dec_jax - dec_ref).max() / scale
+    assert rel < 1e-3, f"composed decode rel dev {rel:.2e}"
+
+
+def test_depthcrafter_adapter_matches_torch_oracle():
+    """The FULL adapter path (prepare_input → windowed __call__ with its own
+    PRNG noise draws → reference postproc) vs the torch oracle fed the SAME
+    noise, re-derived from the adapter's documented PRNG streams."""
+    import jax.numpy as jnp
+
+    from unigeo_tpu.models.depthcrafter.model import DepthCrafter
+    from unigeo_tpu.models.depthcrafter.pipeline import aug_noise_rng
+
+    (tunet, tvae, tclip), pipe, (t, h, w) = _build_matched_pipelines()
+    model = DepthCrafter(pipeline=pipe, num_inference_steps=5, seed=42)
+
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 256, size=(t, 3, h, w)).astype(np.float32)
+    fx = fy = 60.0
+    intr = np.array(
+        [[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]], np.float32
+    )
+    data = {"images": images, "intrinsics": np.stack([intr] * t)}
+
+    out = model.forward(data)
+
+    key = jax.random.PRNGKey(42)  # the adapter's seed
+    noise = np.asarray(
+        jax.random.normal(key, (t, h // 8, w // 8, 4), jnp.float32)
+    )
+    aug = np.asarray(
+        jax.random.normal(aug_noise_rng(key), (t, h, w, 3), jnp.float32)
+    )
+    frames01 = np.moveaxis(images, 1, -1) / 255.0
+    _, depth_ref = _torch_oracle(tunet, tvae, tclip, frames01, noise, aug, 5)
+
+    # depth = 1/(res+0.1) has slope up to 100 at res→0, so the ~1e-4 f32
+    # decode noise (pinned at 1e-3 by the composed test above) can amplify
+    # to ~1e-2 here; only real glue divergence (wrong noise stream, wrong
+    # postproc) exceeds this.
+    rel = np.abs(out["pred_depths"] - depth_ref).max() / np.abs(depth_ref).max()
+    assert rel < 1e-2, f"adapter depth rel dev {rel:.2e}"
+    # normals exist and are unit length (their math is golden-tested
+    # elsewhere; here we pin that the adapter emits the contract)
+    n = out["pred_normals"]
+    assert n.shape == (t, h, w, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(n, axis=-1), 1.0, atol=1e-3
+    )
