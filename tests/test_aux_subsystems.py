@@ -281,3 +281,70 @@ def test_config_max_depth_honored(tmp_path):
     assert EvalConfig.from_dict(base2).max_depth == 12.5
     del base2["max_depth"]
     assert EvalConfig.from_dict(base2).max_depth == 80.0
+
+
+def test_harmonic_embedding_matches_torch_reference(rng):
+    """HarmonicEmbedding / PoseEmbedding vs a torch transcription of the
+    pytorch3d-lineage reference module (reference metrics/camera.py:13-194):
+    same frequency tables, same [phase, dim, freq] flattening order, same
+    MIP-NeRF diag_cov damping, same append_input tail."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from unigeo_tpu.models.posecodec import (
+        PoseEmbedding,
+        harmonic_embedding,
+        harmonic_embedding_dim,
+    )
+
+    def torch_harmonic(x, n=6, omega_0=1.0, logspace=True, append_input=True,
+                       diag_cov=None):
+        if logspace:
+            freqs = 2.0 ** torch.arange(n, dtype=torch.float32)
+        else:
+            freqs = torch.linspace(1.0, 2.0 ** (n - 1), n, dtype=torch.float32)
+        freqs = freqs * omega_0
+        zero_half_pi = torch.tensor([0.0, 0.5 * torch.pi])
+        embed = x[..., None] * freqs
+        embed = embed[..., None, :, :] + zero_half_pi[..., None, None]
+        embed = embed.sin()
+        if diag_cov is not None:
+            x_var = diag_cov[..., None] * torch.pow(freqs, 2)
+            embed = embed * torch.exp(-0.5 * x_var)[..., None, :, :]
+        embed = embed.reshape(*x.shape[:-1], -1)
+        if append_input:
+            return torch.cat([embed, x], dim=-1)
+        return embed
+
+    x = rng.normal(size=(3, 5, 7)).astype(np.float32)
+    cov = rng.uniform(0.01, 0.5, size=(3, 5, 7)).astype(np.float32)
+    for kwargs in (
+        dict(),
+        dict(n=4, omega_0=2.5),
+        dict(logspace=False, n=5),
+        dict(append_input=False),
+        dict(diag_cov=True),
+    ):
+        use_cov = kwargs.pop("diag_cov", False)
+        t_kw = dict(kwargs)
+        if use_cov:
+            t_kw["diag_cov"] = torch.from_numpy(cov)
+        want = torch_harmonic(torch.from_numpy(x), **t_kw).numpy()
+        j_kw = {
+            {"n": "n_harmonic_functions"}.get(k, k): v for k, v in kwargs.items()
+        }
+        if use_cov:
+            j_kw["diag_cov"] = jnp.asarray(cov)
+        if "n" in kwargs:
+            j_kw.pop("n", None)
+            j_kw["n_harmonic_functions"] = kwargs["n"]
+        got = np.asarray(harmonic_embedding(jnp.asarray(x), **j_kw))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    emb = PoseEmbedding(target_dim=7, n_harmonic_functions=10)
+    assert emb.out_dim == harmonic_embedding_dim(7, 10, True) == 7 * 21
+    pose = rng.normal(size=(4, 7)).astype(np.float32)
+    out = np.asarray(emb(jnp.asarray(pose)))
+    want = torch_harmonic(torch.from_numpy(pose), n=10).numpy()
+    np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-6)
