@@ -89,6 +89,85 @@ def test_stablenormal_contract(clip, shared_tiny_pipeline):
     assert (out["pred_depths"] == 0).all()
 
 
+def test_stablenormal_batched_matches_per_frame(clip, shared_tiny_pipeline,
+                                                monkeypatch):
+    """The batched frame path (ONE encode + ONE B=N denoise + ONE decode)
+    matches a per-frame serial pipeline loop — and issues exactly 3 jitted
+    dispatches for the clip instead of 3·N."""
+    from unigeo_tpu.models.stablenormal import StableNormal
+
+    model = StableNormal(num_inference_steps=2, pipeline=shared_tiny_pipeline)
+    frames = model._prepare_frames(clip)  # [2,64,64,3]
+    pipe = model.pipeline
+
+    # serial per-frame oracle: the reference adapter's loop shape
+    # (model/stablenormal.py:37-39) — one full pipeline invocation per image,
+    # same seed each time
+    per_frame = np.concatenate(
+        [
+            pipe(frames[i : i + 1], num_inference_steps=2, window_size=1,
+                 seed=model.seed)
+            for i in range(len(frames))
+        ]
+    )
+
+    calls = {"encode": 0, "denoise": 0, "decode": 0}
+    orig_enc, orig_den, orig_dec = (
+        pipe._encode_stage, pipe._denoise_stage_batched, pipe._decode_frames
+    )
+
+    def count(key, orig):
+        def wrapped(*a, **k):
+            calls[key] += 1
+            return orig(*a, **k)
+        return wrapped
+
+    monkeypatch.setattr(pipe, "_encode_stage", count("encode", orig_enc))
+    monkeypatch.setattr(
+        pipe, "_denoise_stage_batched", count("denoise", orig_den)
+    )
+    monkeypatch.setattr(pipe, "_decode_frames", count("decode", orig_dec))
+
+    batched = model._run_frames_single(frames)
+    assert calls == {"encode": 1, "denoise": 1, "decode": 1}
+    assert batched.shape == per_frame.shape
+    np.testing.assert_allclose(batched, per_frame, atol=5e-4)
+
+
+def test_stablenormal_dp_matches_single(clip, shared_tiny_pipeline):
+    """Frames sharded over the 8-virtual-device dp mesh (as N clips of T=1)
+    match the single-device batched path."""
+    from unigeo_tpu.models.stablenormal import StableNormal
+
+    model = StableNormal(num_inference_steps=2, pipeline=shared_tiny_pipeline)
+    frames = model._prepare_frames(clip)
+    single = model._run_frames_single(frames)
+    dp = model._run_frames_dp(frames)
+    np.testing.assert_allclose(dp, single, atol=5e-4)
+
+
+def test_stablenormal_forward_batch(clip, shared_tiny_pipeline):
+    """forward_batch concatenates clips on the frame axis and splits back —
+    per-clip results match forward."""
+    from unigeo_tpu.models.stablenormal import StableNormal
+
+    ds = SyntheticBoxDataset(
+        clip_length=2, clip_overlap=0, num_scenes=2, frames_per_scene=2,
+        render_size=(64, 64),
+    )
+    model = StableNormal(num_inference_steps=2, pipeline=shared_tiny_pipeline)
+    assert model.eval_batch_size >= 1
+    datas = [ds[0], ds[1]]
+    outs = model.forward_batch(datas)
+    assert len(outs) == 2
+    for data, out in zip(datas, outs):
+        ref = model.forward(data)
+        np.testing.assert_allclose(
+            out["pred_normals"], ref["pred_normals"], atol=2e-3
+        )
+        assert (out["pred_depths"] == 0).all()
+
+
 def test_unigeo_cam_contract(clip, shared_tiny_pipeline):
     """UniGeoCam emits depth + normals ONLY (like the reference DepthCrafter
     adapter): per-frame self-consistent backprojections would yield identity

@@ -240,6 +240,21 @@ class DepthCrafterPipeline:
         )
         return decoded.astype(jnp.float32)
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _decode_frames(self, params, latents):
+        """Decode [N,h,w,4] latents as N INDEPENDENT frames (num_frames=1).
+
+        The temporal decoder groups its frame-axis mixing by ``num_frames``
+        (vae.py VaeSpatioTemporalResBlock), so num_frames=1 over a batch of N
+        is exactly N single-frame decodes in one program — the batched path
+        for per-image models (StableNormal) whose frames must not couple.
+        """
+        decoded = self.vae.apply(
+            {"params": params["vae"]}, latents.astype(self.dtype), 1,
+            method=self.vae.decode,
+        )
+        return decoded.astype(jnp.float32)
+
     def run_window_staged(self, params, frames, noise, num_inference_steps: int,
                           aug_noise=None):
         """The production path: three jitted stages, device-resident between."""
