@@ -8,11 +8,19 @@ activations, and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
-vs_baseline is measured fps divided by the A100 reference throughput for the
-same workload.  The reference repo publishes no numbers (BASELINE.md), so we
-use a documented estimate: DepthCrafter on A100 (fp16, xformers, 5 denoise
-steps, 25×384×512) runs ≈ 12 s per clip ≈ 2.0 frames/s.  The driver-set
-north star is 3× that (BASELINE.json).
+vs_baseline is measured fps divided by a FLOP-DERIVED A100 reference
+throughput for the same workload (the reference repo publishes no numbers,
+and there is no A100 in this environment to measure one):
+
+    baseline_fps(u) = T · A100_PEAK_FP16 · u / FLOPs_per_clip
+
+where FLOPs_per_clip comes from XLA cost analysis of this very program and
+u is the one unknown — the utilization the reference's torch-fp16 +
+xformers + attention-slicing stack would sustain.  BASELINE.md §"A100
+baseline derivation" documents the utilization prior (2.5% / 8% / 25% for
+low/central/high); the JSON reports vs_baseline against the CENTRAL
+estimate plus the full [low, high] interval, so the comparison carries its
+error bars instead of a point guess.
 
 Env knobs: BENCH_SMALL=1 (tiny config smoke), BENCH_FRAMES/H/W, BENCH_REPS.
 """
@@ -25,11 +33,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+# Repo-local persistent compile cache (same dir as tests/conftest.py): TPU
+# executables survive across processes AND driver rounds, so reruns skip
+# the multi-minute first compile.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
-A100_REF_FPS = 2.0  # estimated reference throughput (see module docstring)
+# --- A100 reference derivation (BASELINE.md) -------------------------------
+A100_PEAK_FP16 = 312e12  # A100 SXM fp16/bf16 dense peak, no sparsity
+# Utilization prior for the reference stack (torch fp16 eager, xformers,
+# attention slicing): low anchors to community-reported SVD wall-clocks
+# (~2-4% end-to-end MFU), high to an optimistic cuDNN/flash-attn ceiling.
+A100_UTIL = {"low": 0.025, "central": 0.08, "high": 0.25}
+# FLOPs/clip fallback if XLA cost analysis is unavailable: round-1 measured
+# value for the 25×384×512 5-step program (MFU 0.218 × 197 TF/s × 2.067 s).
+FLOPS_PER_CLIP_FALLBACK = 88.8e12
 
 # bf16 peak TFLOP/s per chip by device kind (public spec sheets)
 _PEAK_TFLOPS = {
@@ -144,10 +164,45 @@ def main():
             out = pipe.run_window_staged(pipe.params, frames, noise, steps)
         return float(final_sum(out))
 
+    # ---- first-run cost, split into params staging vs per-stage compile ----
+    float(trivial(jnp.float32(0.0)))  # backend warm before timing
     t0 = time.perf_counter()
-    run()  # compile + weight staging (excluded from fps; reported below)
-    first_run_s = time.perf_counter() - t0
-    float(trivial(jnp.float32(0.0)))
+    # blocks until the on-device param-gen program (or host→device staging of
+    # loaded weights) has finished — the "weight staging" share of cold start
+    float(final_sum(jax.tree_util.tree_leaves(pipe.params)[0]))
+    first_breakdown = {"params_staging_s": round(time.perf_counter() - t0, 1)}
+
+    def _first(name, fn):
+        s0 = time.perf_counter()
+        out = fn()
+        sync = jax.tree_util.tree_leaves(out)[0]
+        float(final_sum(sync))
+        first_breakdown[name] = round(time.perf_counter() - s0, 1)
+        return out
+
+    t0 = time.perf_counter()
+    cond_f, ctx_f = _first(
+        "encode_s", lambda: pipe._encode_stage(pipe.params, frames, None)
+    )
+    lat_f = _first(
+        "denoise_s",
+        lambda: pipe._denoise_stage(pipe.params, cond_f, ctx_f, noise, steps),
+    )
+    _first("decode_s", lambda: pipe._decode_stage(pipe.params, lat_f))
+    if clips > 1:
+        _first(
+            "denoise_batched_s",
+            lambda: pipe._denoise_stage_batched(
+                pipe.params,
+                jnp.broadcast_to(cond_f, (clips, *cond_f.shape)),
+                jnp.broadcast_to(ctx_f, (clips, *ctx_f.shape)),
+                noise_b,
+                steps,
+            ),
+        )
+    first_run_s = first_breakdown["params_staging_s"] + (
+        time.perf_counter() - t0
+    )
 
     rtts = []
     for _ in range(5):
@@ -228,6 +283,14 @@ def main():
         flops = 0.0
     mfu = round(flops / best / _peak_flops(), 4) if flops > 0 else None
 
+    # FLOP-derived A100 baseline (module docstring + BASELINE.md): the one
+    # free parameter is the utilization prior; report central + interval.
+    f_clip = (flops / clips) if flops > 0 else FLOPS_PER_CLIP_FALLBACK
+    baseline_fps = {
+        k: round(t * A100_PEAK_FP16 * u / f_clip, 2)
+        for k, u in A100_UTIL.items()
+    }
+
     batched = f", {clips} clips/denoise-step" if clips > 1 else ""
     print(
         json.dumps(
@@ -236,12 +299,23 @@ def main():
                 f"{t}-frame {h}x{w} clips, 5 denoise steps{batched}",
                 "value": round(fps, 4),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / A100_REF_FPS, 4),
+                "vs_baseline": round(fps / baseline_fps["central"], 4),
+                # interval from the utilization prior: [vs A100-at-high-util,
+                # vs A100-at-low-util]
+                "vs_baseline_range": [
+                    round(fps / baseline_fps["high"], 4),
+                    round(fps / baseline_fps["low"], 4),
+                ],
+                "baseline_fps": baseline_fps,
+                "baseline_method": "flop-derived; see BASELINE.md "
+                "'A100 baseline derivation'",
+                "flops_per_clip_tf": round(f_clip / 1e12, 1),
                 "mfu": mfu,
                 "stage_ms": stage_ms,  # steady-state per-stage wall (B=1)
                 "first_run_s": round(first_run_s, 1),  # compile+weight staging
-                "baseline_measured": False,  # A100 fps is a documented
-                # estimate; the reference repo publishes no numbers
+                "first_run_breakdown": first_breakdown,
+                "baseline_measured": False,  # no A100 in this environment;
+                # baseline is derived, with its uncertainty carried above
             }
         )
     )
