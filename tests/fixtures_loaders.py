@@ -1,0 +1,296 @@
+"""Shared on-disk dataset fixture builders.
+
+One builder per loader, each writing a miniature dataset to ``root`` in the
+EXACT directory layout / file formats the reference consumes (SURVEY.md
+§2.3), generated from the deterministic synthetic box scene so the emitted
+geometry is known.  Used by the per-format tests (tests/test_dataset_loaders
+.py) and the golden-fingerprint test (tests/test_loader_goldens.py) — the
+latter pins the emitted sample dict against committed goldens so refactors
+of coords.py / data/base.py cannot silently flip a convention.
+"""
+
+import os
+import os.path as osp
+
+import numpy as np
+from PIL import Image
+
+from unigeo_tpu import coords
+from unigeo_tpu.data.synthetic import render_box_frame, _orbit_pose_gl_w2c
+from unigeo_tpu.metrics.camera import matrix_to_quaternion
+
+H, W = 48, 64
+K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1]], np.float32)
+N_FRAMES = 4
+
+
+def frames():
+    out = []
+    for i in range(N_FRAMES):
+        w2c_gl = _orbit_pose_gl_w2c(i, N_FRAMES)
+        rgb, depth, normal = render_box_frame(w2c_gl, K, H, W)
+        out.append((w2c_gl, rgb, depth, normal))
+    return out
+
+
+def _save_depth_png(path, depth, scale):
+    Image.fromarray((depth * scale).astype(np.uint16)).save(path)
+
+
+def _save_rgb(path, rgb):
+    Image.fromarray(np.moveaxis(rgb, 0, -1).astype(np.uint8)).save(path)
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_seven_scenes(root, cache_dir, clip_length=4, clip_overlap=0):
+    from unigeo_tpu.data.loaders import SevenScenesDataset
+
+    scene = osp.join(root, "chess", "seq-01")
+    os.makedirs(scene, exist_ok=True)
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        # 7-Scenes poses are OpenCV camera-to-world text files
+        c2w_cv = coords.convert_pose_gl_cv(coords.se3_inverse(w2c_gl))
+        np.savetxt(osp.join(scene, f"frame-{i:06d}.pose.txt"), c2w_cv)
+        _save_rgb(osp.join(scene, f"frame-{i:06d}.color.png"), rgb)
+        _save_depth_png(
+            osp.join(scene, f"frame-{i:06d}.depth.proj.png"), depth, 1000
+        )
+    return SevenScenesDataset(
+        root=root, scene_list=["chess/seq-01"], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+def build_replica(root, cache_dir, clip_length=2, clip_overlap=0):
+    from unigeo_tpu.data.loaders import ReplicaDataset
+
+    base = osp.join(root, "room_0", "imap", "00")
+    os.makedirs(osp.join(base, "rgb"), exist_ok=True)
+    os.makedirs(osp.join(base, "depth"), exist_ok=True)
+    traj = []
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        _save_rgb(osp.join(base, "rgb", f"rgb_{i}.png"), rgb)
+        _save_depth_png(osp.join(base, "depth", f"depth_{i}.png"), depth, 1000)
+        traj.append(coords.se3_inverse(w2c_gl).reshape(-1))  # c2w GL rows
+    np.savetxt(osp.join(base, "traj_w_cgl.txt"), np.stack(traj))
+    return ReplicaDataset(
+        root=root, scene_list=["room_0"], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+def build_bonn(root, cache_dir, clip_length=4, clip_overlap=0):
+    from unigeo_tpu.data.loaders import BonnDataset
+
+    scene = osp.join(root, "rgbd_bonn_balloon")
+    os.makedirs(osp.join(scene, "rgb_110"), exist_ok=True)
+    os.makedirs(osp.join(scene, "depth_110"), exist_ok=True)
+    lines = []
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        _save_rgb(osp.join(scene, "rgb_110", f"{i:06d}.png"), rgb)
+        _save_depth_png(osp.join(scene, "depth_110", f"{i:06d}.png"), depth, 5000)
+        c2w_cv = coords.convert_pose_gl_cv(coords.se3_inverse(w2c_gl))
+        q = np.asarray(matrix_to_quaternion(c2w_cv[:3, :3]))  # wxyz
+        t = c2w_cv[:3, 3]
+        lines.append(f"{i}.0 {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}")
+    with open(osp.join(scene, "groundtruth_110.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return BonnDataset(
+        root=root, scene_list=["rgbd_bonn_balloon"], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+def build_scannetv2(root, cache_dir, clip_length=2, clip_overlap=0):
+    from unigeo_tpu.data.loaders import ScannetV2Dataset
+
+    scene = osp.join(root, "scene0707_00")
+    os.makedirs(osp.join(scene, "color_270"), exist_ok=True)
+    os.makedirs(osp.join(scene, "depth_270"), exist_ok=True)
+    os.makedirs(osp.join(scene, "intrinsic"), exist_ok=True)
+    poses = []
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        Image.fromarray(np.moveaxis(rgb, 0, -1).astype(np.uint8)).save(
+            osp.join(scene, "color_270", f"{i:04d}.jpg")
+        )
+        _save_depth_png(osp.join(scene, "depth_270", f"{i:04d}.png"), depth, 1000)
+        poses.append(coords.convert_pose_gl_cv(coords.se3_inverse(w2c_gl)))
+    np.savetxt(osp.join(scene, "pose_270.txt"), np.concatenate(poses))
+    K4 = np.eye(4)
+    K4[:3, :3] = K
+    np.savetxt(osp.join(scene, "intrinsic", "intrinsic_depth.txt"), K4)
+    return ScannetV2Dataset(
+        root=root, scene_list=["scene0707_00"], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+def build_scannetpp(root, cache_dir, clip_length=2, clip_overlap=0):
+    from unigeo_tpu.data.loaders import ScannetPPDataset
+
+    scene = osp.join(root, "02455b3d20")
+    os.makedirs(osp.join(scene, "images"), exist_ok=True)
+    os.makedirs(osp.join(scene, "depth"), exist_ok=True)
+    os.makedirs(osp.join(scene, "normal"), exist_ok=True)
+    names, trajs, intrs = [], [], []
+    for i, (w2c_gl, rgb, depth, normal) in enumerate(frames()):
+        name = f"frame_{i:05d}"
+        names.append(name)
+        Image.fromarray(np.moveaxis(rgb, 0, -1).astype(np.uint8)).save(
+            osp.join(scene, "images", f"{name}.webp")
+        )
+        _save_depth_png(osp.join(scene, "depth", f"{name}.png"), depth, 1000)
+        nrm_u8 = ((np.moveaxis(normal, 0, -1) + 1) / 2 * 255).astype(np.uint8)
+        Image.fromarray(nrm_u8).save(
+            osp.join(scene, "normal", f"{name}.webp"), lossless=True
+        )
+        trajs.append(coords.convert_pose_gl_cv(coords.se3_inverse(w2c_gl)))
+        intrs.append(K)
+    np.savez(
+        osp.join(scene, "scene_metadata.npz"),
+        trajectories=np.stack(trajs),
+        intrinsics=np.stack(intrs),
+        images=np.array(names),
+    )
+    return ScannetPPDataset(
+        root=root, scene_list=["02455b3d20"], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+def build_neuralrgbd(root, cache_dir, clip_length=2, clip_overlap=0,
+                     nan_frame=None):
+    """NeuralRGBD layout: images/img{i}.png + depth/depth{i}.png + poses.txt
+    as stacked 4-line OpenGL c2w matrices; a row of 'nan's marks an invalid
+    pose (reference: dataset/neuralRGBD/neuralRGBD.py:83-103).
+    nan_frame: optionally poison one frame's pose to exercise the filter.
+    """
+    from unigeo_tpu.data.loaders import NeuralRGBDDataset
+
+    scene = osp.join(root, "kitchen")
+    os.makedirs(osp.join(scene, "images"), exist_ok=True)
+    os.makedirs(osp.join(scene, "depth"), exist_ok=True)
+    lines = []
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        _save_rgb(osp.join(scene, "images", f"img{i}.png"), rgb)
+        _save_depth_png(osp.join(scene, "depth", f"depth{i}.png"), depth, 1000)
+        if nan_frame is not None and i == nan_frame:
+            lines.extend(["nan nan nan nan"] * 4)
+        else:
+            c2w_gl = coords.se3_inverse(w2c_gl)
+            lines.extend(" ".join(str(x) for x in row) for row in c2w_gl)
+    with open(osp.join(scene, "poses.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return NeuralRGBDDataset(
+        root=root, scene_list=["kitchen"], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+HYPERSIM_H, HYPERSIM_W = 32, 48
+METERS_PER_ASSET = 0.02
+
+
+def build_hypersim_scene(root):
+    """Write the fabricated Hypersim HDF5 scene; returns the scene name.
+    (Separate from build_hypersim so tests can post-edit the files before
+    constructing the dataset.)"""
+    import h5py
+    import pandas as pd
+
+    h, w = HYPERSIM_H, HYPERSIM_W
+    scene = "ai_001_001"
+    cam = "cam_00"
+    detail = osp.join(root, scene, "_detail")
+    cam_dir = osp.join(detail, cam)
+    img_dir = osp.join(root, scene, "images", f"scene_{cam}_final_preview")
+    geo_dir = osp.join(root, scene, "images", f"scene_{cam}_geometry_hdf5")
+    for d in (cam_dir, img_dir, geo_dir):
+        os.makedirs(d, exist_ok=True)
+
+    # camera keyframes: positions in ASSET units, orientations OpenGL c2w
+    n = 3
+    positions = np.stack([[i * 10.0, 0.0, 0.0] for i in range(n)])
+    orientations = np.tile(np.eye(3), (n, 1, 1))
+    with h5py.File(osp.join(cam_dir, "camera_keyframe_positions.hdf5"), "w") as f:
+        f.create_dataset("dataset", data=positions)
+    with h5py.File(
+        osp.join(cam_dir, "camera_keyframe_orientations.hdf5"), "w"
+    ) as f:
+        f.create_dataset("dataset", data=orientations)
+
+    pd.DataFrame(
+        {
+            "parameter_name": ["meters_per_asset_unit"],
+            "parameter_value": [METERS_PER_ASSET],
+        }
+    ).to_csv(osp.join(detail, "metadata_scene.csv"), index=False)
+
+    # camera parameters CSV with an OpenGL projection matrix
+    fov_proj = np.zeros((4, 4))
+    fov_proj[0, 0] = 1.5
+    fov_proj[1, 1] = 2.0
+    fov_proj[2, 2] = -1.0
+    fov_proj[3, 2] = -1.0
+    row = {
+        "scene_name": scene,
+        "settings_output_img_width": w,
+        "settings_output_img_height": h,
+    }
+    for i in range(4):
+        for j in range(4):
+            row[f"M_proj_{i}{j}"] = fov_proj[i, j]
+    pd.DataFrame([row]).to_csv(
+        osp.join(root, "metadata_camera_parameters.csv"), index=False
+    )
+
+    # frames: world positions on a plane in front of each camera (OpenGL:
+    # camera looks down -z), normals +z (toward camera)
+    for fid in range(n):
+        Image.fromarray(np.full((h, w, 3), 100 + fid, np.uint8)).save(
+            osp.join(img_dir, f"frame.{fid:04d}.tonemap.jpg")
+        )
+        cam_pos = positions[fid] * METERS_PER_ASSET
+        xs = np.linspace(-1, 1, w)
+        ys = np.linspace(-1, 1, h)
+        xv, yv = np.meshgrid(xs, ys)
+        world = np.stack(
+            [
+                cam_pos[0] + xv,
+                cam_pos[1] + yv,
+                cam_pos[2] - 2.0 * np.ones_like(xv),
+            ],
+            axis=-1,
+        ) / METERS_PER_ASSET  # stored in asset units
+        with h5py.File(
+            osp.join(geo_dir, f"frame.{fid:04d}.position.hdf5"), "w"
+        ) as f:
+            f.create_dataset("dataset", data=world.astype(np.float32))
+        normal = np.zeros((h, w, 3), np.float32)
+        normal[..., 2] = 1.0
+        with h5py.File(
+            osp.join(geo_dir, f"frame.{fid:04d}.normal_cam.hdf5"), "w"
+        ) as f:
+            f.create_dataset("dataset", data=normal)
+    return scene
+
+
+def build_hypersim(root, cache_dir=None):
+    from unigeo_tpu.data.hypersim import HyperSimDataset
+
+    scene = build_hypersim_scene(root)
+    return HyperSimDataset(root=root, scene_list=[scene])
+
+
+# name → builder, the registry both test modules parametrize over
+BUILDERS = {
+    "SevenScenesDataset": build_seven_scenes,
+    "ReplicaDataset": build_replica,
+    "BonnDataset": build_bonn,
+    "ScannetV2Dataset": build_scannetv2,
+    "ScannetPPDataset": build_scannetpp,
+    "NeuralRGBDDataset": build_neuralrgbd,
+    "HyperSimDataset": build_hypersim,
+}

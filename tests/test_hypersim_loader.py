@@ -1,83 +1,21 @@
-"""Hypersim loader test against a fabricated HDF5 scene."""
+"""Hypersim loader test against a fabricated HDF5 scene
+(fixture builder shared via tests/fixtures_loaders.py)."""
 
-import os
 import os.path as osp
 
 import numpy as np
 import pytest
-from PIL import Image
 
 h5py = pytest.importorskip("h5py")
 
-from unigeo_tpu import coords
 from unigeo_tpu.data.hypersim import HyperSimDataset
 
-
-H, W = 32, 48
-METERS_PER_ASSET = 0.02
-
-
-def _make_scene(root):
-    scene = "ai_001_001"
-    cam = "cam_00"
-    detail = osp.join(root, scene, "_detail")
-    cam_dir = osp.join(detail, cam)
-    img_dir = osp.join(root, scene, "images", f"scene_{cam}_final_preview")
-    geo_dir = osp.join(root, scene, "images", f"scene_{cam}_geometry_hdf5")
-    for d in (cam_dir, img_dir, geo_dir):
-        os.makedirs(d)
-
-    # camera keyframes: positions in ASSET units, orientations OpenGL c2w
-    n = 3
-    positions = np.stack([[i * 10.0, 0.0, 0.0] for i in range(n)])  # asset units
-    orientations = np.tile(np.eye(3), (n, 1, 1))
-    with h5py.File(osp.join(cam_dir, "camera_keyframe_positions.hdf5"), "w") as f:
-        f.create_dataset("dataset", data=positions)
-    with h5py.File(osp.join(cam_dir, "camera_keyframe_orientations.hdf5"), "w") as f:
-        f.create_dataset("dataset", data=orientations)
-
-    import pandas as pd
-
-    pd.DataFrame(
-        {"parameter_name": ["meters_per_asset_unit"], "parameter_value": [METERS_PER_ASSET]}
-    ).to_csv(osp.join(detail, "metadata_scene.csv"), index=False)
-
-    # camera parameters CSV with an OpenGL projection matrix
-    fov_proj = np.zeros((4, 4))
-    fov_proj[0, 0] = 1.5
-    fov_proj[1, 1] = 2.0
-    fov_proj[2, 2] = -1.0
-    fov_proj[3, 2] = -1.0
-    row = {"scene_name": scene, "settings_output_img_width": W,
-           "settings_output_img_height": H}
-    for i in range(4):
-        for j in range(4):
-            row[f"M_proj_{i}{j}"] = fov_proj[i, j]
-    pd.DataFrame([row]).to_csv(
-        osp.join(root, "metadata_camera_parameters.csv"), index=False
-    )
-
-    # frames: world positions on a plane in front of each camera (OpenGL:
-    # camera looks down -z), normals +z (toward camera)
-    for fid in range(n):
-        Image.fromarray(
-            np.full((H, W, 3), 100 + fid, np.uint8)
-        ).save(osp.join(img_dir, f"frame.{fid:04d}.tonemap.jpg"))
-        cam_pos = positions[fid] * METERS_PER_ASSET
-        xs = np.linspace(-1, 1, W)
-        ys = np.linspace(-1, 1, H)
-        xv, yv = np.meshgrid(xs, ys)
-        world = np.stack(
-            [cam_pos[0] + xv, cam_pos[1] + yv, cam_pos[2] - 2.0 * np.ones_like(xv)],
-            axis=-1,
-        ) / METERS_PER_ASSET  # stored in asset units
-        with h5py.File(osp.join(geo_dir, f"frame.{fid:04d}.position.hdf5"), "w") as f:
-            f.create_dataset("dataset", data=world.astype(np.float32))
-        normal = np.zeros((H, W, 3), np.float32)
-        normal[..., 2] = 1.0
-        with h5py.File(osp.join(geo_dir, f"frame.{fid:04d}.normal_cam.hdf5"), "w") as f:
-            f.create_dataset("dataset", data=normal)
-    return scene
+from fixtures_loaders import (
+    HYPERSIM_H as H,
+    HYPERSIM_W as W,
+    METERS_PER_ASSET,
+    build_hypersim_scene as _make_scene,
+)
 
 
 def test_hypersim_pairs(tmp_path):
