@@ -11,13 +11,23 @@ prediction families are derived:
   normals  decoded triplet renormalized to unit vectors (StableNormal
            recipe, x-flip)
 
-Like the reference's DepthCrafter adapter (model/depthcrafter.py — depth +
-normals only), this model emits NO pred_world_pts / pred_poses: the
-diffusion decodes per-frame depth, and points backprojected per-frame with
-the GT intrinsics live in each frame's OWN camera frame — PnP on such
-self-consistent pointmaps recovers the identity pose by construction, so
-emitting them would silently poison pcd/camera metrics.  Evaluate with
-eval_depth / eval_normal.
+By default (``geometry_branch=False``) the model emits depth + normals
+only, like the reference's DepthCrafter adapter (model/depthcrafter.py):
+points backprojected per-frame with the GT intrinsics live in each frame's
+OWN camera frame — PnP on such self-consistent pointmaps recovers the
+identity pose by construction, so emitting them naively would silently
+poison pcd/camera metrics.
+
+With ``geometry_branch=True`` the model becomes the full unified stack and
+emits all four prediction families: the framework's own Spann3R-class
+pointmap network runs on the same frames to provide the cross-frame
+geometry (real poses via the batched PnP solver, a metric-consistent world
+frame), the diffusion depth is scale/shift-aligned to the pointmap depth
+per clip (lstsq, the framework's own solver), and the aligned diffusion
+depth is backprojected and carried into the world frame by the pointmap
+poses — sharp per-pixel depth from the diffusion branch, global
+consistency from the pointmap branch.  Evaluate with eval_depth /
+eval_normal / eval_pcd / eval_camera.
 
 When the paper's exact head layout becomes known, only the decode mapping
 changes; the conditioning, scheduler, and UNet are shared with DepthCrafter.
@@ -50,6 +60,10 @@ class UniGeoCam:
         init_width: int = 512,
         init_frames: int = 25,
         pipeline=None,
+        geometry_branch: bool = False,
+        pointmap_config: Optional[Dict[str, Any]] = None,
+        pointmap_checkpoint: Optional[str] = None,
+        pointmap_model=None,
         **_: Dict,
     ):
         self.pipeline = pipeline or DepthCrafterPipeline(
@@ -64,6 +78,16 @@ class UniGeoCam:
         elif self.pipeline.params is None:
             self.pipeline.init_params(
                 jax.random.PRNGKey(seed), init_height, init_width, init_frames
+            )
+        self.pointmap = None
+        if geometry_branch:
+            from unigeo_tpu.models.pointmap.spann3r import Spann3R
+
+            self.pointmap = pointmap_model or Spann3R(
+                network_config=pointmap_config,
+                checkpoint_path=pointmap_checkpoint,
+                init_height=init_height, init_width=init_width,
+                init_frames=min(init_frames, 2),
             )
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
@@ -84,12 +108,49 @@ class UniGeoCam:
         normals[..., 0] *= -1.0
         normals /= np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-6)
 
-        # No geometry branch: per-frame backprojections with the same K are
-        # self-consistent, so PnP would recover identity poses and the
-        # "world" points would mix per-frame camera frames (see module
-        # docstring) — depth + normals only, like the reference DepthCrafter
-        # adapter.
-        return {
+        out = {
             "pred_depths": depths,
             "pred_normals": normals.astype(np.float32),
+        }
+        if self.pointmap is None:
+            # No geometry branch: per-frame backprojections with the same K
+            # are self-consistent, so PnP would recover identity poses and
+            # the "world" points would mix per-frame camera frames (module
+            # docstring) — depth + normals only, like the reference
+            # DepthCrafter adapter.
+            return out
+        out.update(self._geometry_branch(data, depths))
+        return out
+
+    def _geometry_branch(self, data, depths: np.ndarray) -> Dict[str, Any]:
+        """Fuse the diffusion depth with the pointmap branch's cross-frame
+        geometry: align depth to the pointmap scale, backproject with the GT
+        intrinsics, and carry each frame into the shared world frame by the
+        pointmap poses (module docstring)."""
+        from unigeo_tpu.metrics.alignment import lstsq_scale_shift
+        from unigeo_tpu.ops.backproject import backproject_batch_cv
+
+        pm = self.pointmap.forward(data)
+        pm_depth = np.asarray(pm["pred_depths"], np.float32)  # [Nf,H,W] +z
+        valid = jnp.asarray(pm_depth > 1e-6)
+        s, t = lstsq_scale_shift(
+            jnp.asarray(depths), jnp.asarray(pm_depth), valid
+        )
+        aligned = np.asarray(s * depths + t, np.float32)
+        # keep depth physically positive after the affine map
+        aligned = np.maximum(aligned, 1e-3)
+
+        intrinsics = jnp.asarray(np.asarray(data["intrinsics"], np.float32))
+        cam_pts = np.asarray(
+            backproject_batch_cv(jnp.asarray(aligned), intrinsics)
+        )  # [Nf,H,W,3] OpenCV, +z = aligned depth
+        poses = np.asarray(pm["pred_poses"], np.float32)  # c2w OpenCV
+        world = (
+            np.einsum("nij,nhwj->nhwi", poses[:, :3, :3], cam_pts)
+            + poses[:, None, None, :3, 3]
+        )
+        return {
+            "pred_depths": aligned,
+            "pred_world_pts": world.astype(np.float32),
+            "pred_poses": poses,
         }
