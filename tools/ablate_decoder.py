@@ -48,7 +48,10 @@ def main():
         return jax.tree.map(lambda a: a.astype(DTYPE), p)
 
     def bench(name, module, x, K, *extra):
-        p = bf16(module.init(rng, x, *extra)["params"])
+        # init at a small spatial shape (params are shape-independent) —
+        # f32 init activations at 25x384x512x128 would OOM the chip
+        small = jnp.zeros(x.shape[:-3] + (8, 8, x.shape[-1]), x.dtype)
+        p = bf16(module.init(rng, small, *extra)["params"])
         ms = _time_chained(
             lambda c: module.apply({"params": p}, c, *extra), x, K, rtt=rtt
         ) * 1e3
@@ -92,7 +95,8 @@ def main():
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 return Conv2d(ch)(h)
 
-        p = bf16(UpRepeatConv().init(rng, x)["params"])
+        small = jax.random.normal(rng, (1, 8, 8, ch), DTYPE)
+        p = bf16(UpRepeatConv().init(rng, small)["params"])
         up = UpRepeatConv()
         ms = _time_chained(
             lambda c: up.apply({"params": p}, c)[:, ::2, ::2, :], x, K, rtt=rtt
