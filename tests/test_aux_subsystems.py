@@ -335,9 +335,6 @@ def test_harmonic_embedding_matches_torch_reference(rng):
         }
         if use_cov:
             j_kw["diag_cov"] = jnp.asarray(cov)
-        if "n" in kwargs:
-            j_kw.pop("n", None)
-            j_kw["n_harmonic_functions"] = kwargs["n"]
         got = np.asarray(harmonic_embedding(jnp.asarray(x), **j_kw))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

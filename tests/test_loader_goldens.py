@@ -67,10 +67,18 @@ def _assert_matches(got, want, name):
             continue
         g, w_ = got[k], want[k]
         assert g["shape"] == w_["shape"], f"{name}.{k}: shape changed"
+        # `images` decode from the reference's LOSSY on-disk formats (jpg,
+        # default webp) — a Pillow/libjpeg/libwebp version change shifts
+        # pixels by ±1-2 on the 0-255 scale, which is codec behavior, not
+        # loader behavior.  atol 2.5 still catches every convention bug
+        # (channel swap, 0-1 vs 0-255 normalization, BGR, transposes).
+        # Everything else (depth/coords/normals/mask from PNG/HDF5/text)
+        # is lossless and stays pinned tight.
+        atol = 2.5 if k == "images" else 1e-4
         for stat in ("mean", "std", "min", "max", "probe_center",
                      "probe_quarter"):
             np.testing.assert_allclose(
-                g[stat], w_[stat], rtol=1e-4, atol=1e-4,
+                g[stat], w_[stat], rtol=1e-4, atol=atol,
                 err_msg=f"{name}.{k}.{stat} drifted",
             )
 

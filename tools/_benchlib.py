@@ -14,7 +14,17 @@ import jax
 import jax.numpy as jnp
 
 
-def setup_cache(path: str = "/tmp/jax_bench_cache") -> None:
+def setup_cache(path: str = None) -> None:
+    """Default: the repo-local .jax_cache shared with bench.py and the test
+    suite — survives /tmp cleanup between driver rounds, so the tools get
+    the same warm-start."""
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

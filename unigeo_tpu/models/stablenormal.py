@@ -15,7 +15,7 @@ via the ShardedClipExecutor as N clips of length 1.  Per-frame numerics
 are preserved exactly: the per-image reference loop reuses one seed per
 invocation, so every frame sees the SAME noise draw — the batch broadcasts
 that single draw (parity-tested batched-vs-per-frame in
-tests/test_depthcrafter_stack.py).
+tests/test_pointmap_models.py::test_stablenormal_batched_matches_per_frame).
 """
 
 from __future__ import annotations

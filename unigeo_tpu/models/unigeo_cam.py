@@ -136,6 +136,21 @@ class UniGeoCam:
         s, t = lstsq_scale_shift(
             jnp.asarray(depths), jnp.asarray(pm_depth), valid
         )
+        s, t = float(s), float(t)
+        # degenerate-fit guard (the sibling median_scale falls back to 1.0
+        # on degenerate input, metrics/alignment.py): no valid pointmap
+        # depth, a non-finite fit, or a collapsed s≈0 (every pixel would
+        # land on the clamp floor) fall back to the raw diffusion depth
+        # rather than silently emitting garbage geometry.  A NEGATIVE s is
+        # left alone: it is the least-squares optimum for anti-correlated
+        # fields, matching the reference's unclamped lstsq alignment
+        # semantics (metrics/alignment.py:150-167).
+        if (
+            int(np.asarray(valid).sum()) == 0
+            or not np.isfinite([s, t]).all()
+            or abs(s) < 1e-8
+        ):
+            s, t = 1.0, 0.0
         aligned = np.asarray(s * depths + t, np.float32)
         # keep depth physically positive after the affine map
         aligned = np.maximum(aligned, 1e-3)
