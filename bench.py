@@ -170,17 +170,13 @@ def main():
     float(trivial(jnp.float32(0.0)))  # backend warm before timing
 
     def _sync(tree):
-        """Block until EVERY leaf of ``tree`` is computed: one jitted
-        sum-all program + a scalar host fetch (block_until_ready returns at
-        enqueue time on tunneled backends; partial syncs let async work
-        leak into the next stage's timer)."""
-        total = jax.jit(
-            lambda p: sum(
-                jnp.sum(l.astype(jnp.float32))
-                for l in jax.tree_util.tree_leaves(p)
-            )
-        )(tree)
-        float(total)
+        """Barrier after the program that produced ``tree``: TPU programs
+        execute in enqueue order on the device stream, so ONE scalar fetch
+        from any of this tree's leaves completes that whole program (all
+        its outputs materialize together) and everything enqueued before
+        it.  (A sum-over-all-leaves program would be a stricter-looking
+        barrier but costs a fresh 1400-input compile per call.)"""
+        float(final_sum(jax.tree_util.tree_leaves(tree)[0]))
 
     t0 = time.perf_counter()
     if pipe.params is None:
