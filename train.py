@@ -42,6 +42,43 @@ def build_batch_pointmap(samples):
     return {k: np.stack([b[k] for b in batch]) for k in batch[0]}
 
 
+def build_batch_diffusion(samples, pipe):
+    """Clips → EDM training batch for DiffusionTrainer.
+
+    Target latents encode the clip's GT depth in the representation the
+    DepthCrafter postproc inverts (model/depthcrafter.py:92-97 lineage):
+    clip-minmax-normalized inverse depth in [-1,1], tiled to 3 channels,
+    VAE-encoded into the SCALED (0.18215) latent space.  Conditioning is
+    the standard unscaled RGB latent + CLIP context from _encode_stage.
+    """
+    import jax.numpy as jnp
+
+    from unigeo_tpu.data.sample import prepare_gt_label
+
+    lats, conds, ctxs = [], [], []
+    for data in samples:
+        frames = np.moveaxis(data["images"], 1, -1).astype(np.float32) / 255.0
+        gt = prepare_gt_label(data)
+        inv = 1.0 / np.maximum(np.asarray(gt["gt_depths"], np.float32), 1e-3)
+        lo, hi = float(inv.min()), float(inv.max())
+        x = (inv - lo) / max(hi - lo, 1e-8)  # [0,1], clip-normalized
+        x3 = np.repeat((x * 2.0 - 1.0)[..., None], 3, axis=-1)
+        cond, ctx = pipe._encode_stage(pipe.params, jnp.asarray(frames), None)
+        lat = pipe.vae.apply(
+            {"params": pipe.params["vae"]},
+            jnp.asarray(x3, jnp.float32),
+            method=pipe.vae.encode_scaled,
+        )
+        lats.append(np.asarray(lat, np.float32))
+        conds.append(np.asarray(cond, np.float32))
+        ctxs.append(np.asarray(ctx, np.float32))
+    return {
+        "latents": np.stack(lats),
+        "cond_latents": np.stack(conds),
+        "context": np.stack(ctxs),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -76,7 +113,10 @@ def main():
     mesh_shape = (
         tuple(int(x) for x in args.mesh.split(",")) if args.mesh else None
     )
-    mesh = make_mesh(shape=mesh_shape)
+    # an explicit mesh may use fewer than all devices (e.g. '2,1,1' on an
+    # 8-device host): take the first prod(shape) devices
+    n_dev = int(np.prod(mesh_shape)) if mesh_shape else None
+    mesh = make_mesh(n_devices=n_dev, shape=mesh_shape)
     writer = EventWriter(args.log_dir)
     saver = TrainStateSaver(args.ckpt_dir)
 
@@ -116,11 +156,57 @@ def main():
         if args.steps % args.ckpt_every != 0:  # final state not yet saved
             saver.save(jax.device_get(state.params), args.steps)
         print(f"done; checkpoints in {args.ckpt_dir}")
+    elif model_name in ("DepthCrafter", "UniGeoCam", "UniGeo", "StableNormal"):
+        from unigeo_tpu.parallel.trainer import DiffusionTrainer
+
+        if args.tiny:
+            from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
+
+            sample = dataset[0]
+            t, _, h, w = sample["images"].shape
+            pipe = tiny_pipeline(height=h, width=w, num_frames=t)
+        else:
+            from unigeo_tpu.models.depthcrafter.pipeline import (
+                DepthCrafterPipeline,
+            )
+
+            sample = dataset[0]
+            t, _, h, w = sample["images"].shape
+            pipe = DepthCrafterPipeline()
+            pipe.init_params(jax.random.PRNGKey(0), h, w, t)
+
+        with mesh:
+            trainer = DiffusionTrainer(pipe.unet, mesh, learning_rate=args.lr)
+            state = trainer.init_state(pipe.params["unet"])
+            timer = TimeWriter(writer, "step_time", total_steps=args.steps)
+            rng = jax.random.PRNGKey(1)
+            step_fn = None
+            idx = 0
+            for step in range(args.steps):
+                samples = [
+                    dataset[(idx + i) % len(dataset)]
+                    for i in range(args.batch_size)
+                ]
+                idx += args.batch_size
+                batch = build_batch_diffusion(samples, pipe)
+                if step_fn is None:
+                    step_fn = trainer.make_step(batch, t)
+                rng, sub = jax.random.split(rng)
+                with timer:
+                    state, loss = step_fn(state, batch, sub)
+                writer.put_scalar("loss", float(loss), step)
+                if step % 10 == 0:
+                    print(f"step {step}: loss {float(loss):.4f} "
+                          f"({timer.avg:.2f}s/step)")
+                if (step + 1) % args.ckpt_every == 0:
+                    saver.save(jax.device_get(state.params), step + 1)
+        if args.steps % args.ckpt_every != 0:  # final state not yet saved
+            saver.save(jax.device_get(state.params), args.steps)
+        print(f"done; checkpoints in {args.ckpt_dir}")
     else:
         raise SystemExit(
-            f"training driver currently supports pointmap models "
-            f"(Spann3R/Cut3R); diffusion fine-tuning runs through "
-            f"parallel.trainer.DiffusionTrainer (see tests/test_training.py). "
+            f"training driver supports pointmap models (Spann3R/Cut3R) and "
+            f"diffusion models (DepthCrafter/UniGeoCam/StableNormal). "
             f"Got model {model_name!r}."
         )
 
