@@ -258,3 +258,75 @@ def test_backbone_conversion_matches_torch(rng):
     assert np.allclose(np.asarray(j_dec), t_dec.numpy(), atol=5e-5), (
         np.abs(np.asarray(j_dec) - t_dec.numpy()).max()
     )
+
+
+# ---------------------------------------------------------------------------
+# DUSt3R two-view entangled decoder
+
+
+class TorchEntangledDecoder(tnn.Module):
+    """DUSt3R's _decoder: shared decoder_embed, zipped dec_blocks /
+    dec_blocks2 where each stream cross-attends to the OTHER stream's
+    previous-layer output, one shared final dec_norm."""
+
+    def __init__(self):
+        super().__init__()
+        self.decoder_embed = tnn.Linear(WIDTH, DEC_WIDTH)
+        self.dec_blocks = tnn.ModuleList(
+            [TorchDecBlock(DEC_WIDTH, HEADS) for _ in range(DEPTH)]
+        )
+        self.dec_blocks2 = tnn.ModuleList(
+            [TorchDecBlock(DEC_WIDTH, HEADS) for _ in range(DEPTH)]
+        )
+        self.dec_norm = tnn.LayerNorm(DEC_WIDTH)
+
+    def forward(self, e1, e2, pos):
+        x1, x2 = self.decoder_embed(e1), self.decoder_embed(e2)
+        for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
+            y1, y2 = x1, x2
+            x1 = blk1(y1, y2, pos, pos)
+            x2 = blk2(y2, y1, pos, pos)
+        return self.dec_norm(x1), self.dec_norm(x2)
+
+
+def test_entangled_decoder_conversion_matches_torch(rng):
+    from unigeo_tpu.models.pointmap.dust3r import EntangledDecoder
+    from unigeo_tpu.utils.convert_dust3r import convert_dust3r_pair
+
+    torch.manual_seed(1)
+    net = TorchEntangledDecoder().eval()
+
+    B, N = 2, 12
+    gh, gw = 3, 4
+    e1 = rng.normal(size=(B, N, WIDTH)).astype(np.float32)
+    e2 = rng.normal(size=(B, N, WIDTH)).astype(np.float32)
+    pos_np = np.asarray(grid_positions(gh, gw))
+
+    with torch.no_grad():
+        t1, t2 = net(
+            torch.from_numpy(e1), torch.from_numpy(e2),
+            torch.from_numpy(pos_np),
+        )
+
+    flat = convert_dust3r_pair(net.state_dict())
+    dec = EntangledDecoder(
+        DEC_WIDTH, DEPTH, HEADS, qkv_bias=True, rope_freq=FREQ,
+        norm_context=True,
+    )
+    params = dec.init(
+        jax.random.PRNGKey(0), jnp.asarray(e1), jnp.asarray(e2),
+        jnp.asarray(pos_np)[None],
+    )["params"]
+    dec_flat = {k[1:]: v for k, v in flat.items() if k[0] == "decoder"}
+    params, matched, missed = graft_flat_params(params, dec_flat)
+    assert not missed, missed
+    j1, j2 = dec.apply(
+        {"params": params}, jnp.asarray(e1), jnp.asarray(e2),
+        jnp.asarray(pos_np)[None],
+    )
+    assert np.allclose(np.asarray(j1), t1.numpy(), atol=5e-5), (
+        np.abs(np.asarray(j1) - t1.numpy()).max()
+    )
+    assert np.allclose(np.asarray(j2), t2.numpy(), atol=5e-5), (
+        np.abs(np.asarray(j2) - t2.numpy()).max()
+    )

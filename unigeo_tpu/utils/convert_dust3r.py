@@ -223,3 +223,70 @@ def rename_backbone_key(name: str) -> Tuple[str, ...]:
     if leaf == "weight":
         leaf = "scale" if "norm" in parent else "kernel"
     return tuple(parts[:-1] + [leaf])
+
+
+def convert_dust3r_pair(state_dict: Dict[str, Any]) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Real DUSt3R (two-view) torch state dict → flat {flax path: array}
+    for models/pointmap/dust3r.Dust3RNetwork.
+
+    Mapping beyond convert_backbone:
+      * dec_blocks.{i}.*  → decoder.layers.block1.* (stacked on depth axis)
+      * dec_blocks2.{i}.* → decoder.layers.block2.*
+      * decoder_embed     → decoder.decoder_embed (shared across streams)
+      * dec_norm          → BOTH decoder.norm1 and decoder.norm2 (torch
+        shares one final norm across the streams; duplication is
+        numerics-equivalent)
+    Head keys (downstream_head1/2) are skipped — convert DPT heads via
+    convert_dpt_head.
+    """
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    stacks: Dict[Tuple[str, ...], Dict[int, np.ndarray]] = {}
+
+    top = {
+        "patch_embed.proj.weight": (
+            [("encoder", "patch_embed", "proj", "kernel")],
+            lambda a: np.transpose(a, (2, 3, 1, 0)),
+        ),
+        "patch_embed.proj.bias": (
+            [("encoder", "patch_embed", "proj", "bias")], lambda a: a),
+        "enc_norm.weight": ([("encoder", "norm", "scale")], lambda a: a),
+        "enc_norm.bias": ([("encoder", "norm", "bias")], lambda a: a),
+        "decoder_embed.weight": (
+            [("decoder", "decoder_embed", "kernel")], _linear),
+        "decoder_embed.bias": (
+            [("decoder", "decoder_embed", "bias")], lambda a: a),
+        "dec_norm.weight": (
+            [("decoder", "norm1", "scale"), ("decoder", "norm2", "scale")],
+            lambda a: a,
+        ),
+        "dec_norm.bias": (
+            [("decoder", "norm1", "bias"), ("decoder", "norm2", "bias")],
+            lambda a: a,
+        ),
+    }
+
+    blk = re.compile(r"^(enc_blocks|dec_blocks|dec_blocks2)\.(\d+)\.(.*)$")
+    for name, tensor in state_dict.items():
+        arr = tensor.numpy() if hasattr(tensor, "numpy") else np.asarray(tensor)
+        if name in top:
+            paths, fn = top[name]
+            for path in paths:
+                flat[path] = fn(arr)
+            continue
+        m = blk.match(name)
+        if not m:
+            continue  # heads: separate converters
+        which, idx, sub = m.group(1), int(m.group(2)), m.group(3)
+        root = {
+            "enc_blocks": ("encoder", "blocks", "layers", "block"),
+            "dec_blocks": ("decoder", "layers", "block1"),
+            "dec_blocks2": ("decoder", "layers", "block2"),
+        }[which]
+        for subpath, val in _block_entries(sub, arr, dec=which.startswith("dec")):
+            stacks.setdefault(root + subpath, {})[idx] = val
+
+    for path, by_idx in stacks.items():
+        depth = max(by_idx) + 1
+        assert sorted(by_idx) == list(range(depth)), f"missing layers at {path}"
+        flat[path] = np.stack([by_idx[i] for i in range(depth)])
+    return flat
