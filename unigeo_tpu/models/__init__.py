@@ -9,3 +9,4 @@ from unigeo_tpu.models import depthcrafter  # noqa: F401
 from unigeo_tpu.models import pointmap  # noqa: F401
 from unigeo_tpu.models import stablenormal  # noqa: F401
 from unigeo_tpu.models import unigeo_cam  # noqa: F401
+from unigeo_tpu.models import vda  # noqa: F401
