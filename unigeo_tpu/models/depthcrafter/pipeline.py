@@ -231,6 +231,55 @@ class DepthCrafterPipeline:
             params, cond_latents, context, noise, num_inference_steps
         )
 
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_inference_steps"))
+    def _denoise_stage_known(self, params, cond_latents, context, noise,
+                             known, mask_t, num_inference_steps: int):
+        """Single-clip euler denoise where frames with mask_t[f] = 1 are
+        re-anchored every step to ``known`` re-noised to the current sigma.
+
+        cond_latents/noise/known [T, h, w, C]; mask_t [T].  Mirrors the
+        _denoise_loop B=1 euler path above with
+        the clamp inserted before each UNet evaluation and after the final
+        step (σ=0 ⇒ conditioned frames equal ``known`` exactly).
+        """
+        t = cond_latents.shape[0]
+        dtype = self.dtype
+        sigmas_np = self.scheduler.inference_sigmas(num_inference_steps)
+        sigmas = jnp.asarray(sigmas_np)
+        timesteps = jnp.asarray(
+            self.scheduler.timesteps_for_sigmas(sigmas_np[:-1])
+        )
+        added = jnp.broadcast_to(jnp.asarray(self.added_time_ids), (1, 3))
+        m = mask_t[:, None, None, None]
+
+        def clamp(x, sigma):
+            return jnp.where(m > 0, known + sigma * noise, x)
+
+        def denoised_at(x, i):
+            sigma = sigmas[i]
+            x_in = self.scheduler.scale_model_input(x, sigma).astype(dtype)
+            unet_in = jnp.concatenate([x_in, cond_latents], axis=-1)
+            v = self.unet.apply(
+                {"params": params["unet"]},
+                unet_in,
+                jnp.full((1,), timesteps[i]),
+                context,
+                added,
+                t,
+            ).astype(jnp.float32)
+            return self.scheduler.denoised_from_v(x, v, sigma)
+
+        def euler_body(i, x):
+            x = clamp(x, sigmas[i])
+            return self.scheduler.euler_step(
+                x, denoised_at(x, i), sigmas[i], sigmas[i + 1]
+            )
+
+        x = noise.astype(jnp.float32) * jnp.sqrt(sigmas[0] ** 2 + 1.0)
+        x = jax.lax.fori_loop(0, num_inference_steps, euler_body, x)
+        return clamp(x, 0.0)
+
     @functools.partial(jax.jit, static_argnames=("self",))
     def _decode_stage(self, params, latents):
         t = latents.shape[0]
