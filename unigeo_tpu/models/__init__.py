@@ -4,6 +4,7 @@ Importing this package registers every model class in the registry.
 """
 
 from unigeo_tpu.models.base import GeometryModel, PREDICTION_KEYS  # noqa: F401
+from unigeo_tpu.models import aether  # noqa: F401
 from unigeo_tpu.models import identity  # noqa: F401
 from unigeo_tpu.models import chronodepth  # noqa: F401
 from unigeo_tpu.models import depthanyvideo  # noqa: F401
