@@ -35,8 +35,11 @@ import numpy as np
 
 # Repo-local persistent compile cache (same dir as tests/conftest.py): TPU
 # executables survive across processes AND driver rounds, so reruns skip
-# the multi-minute first compile.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+# the multi-minute first compile.  Host-keyed: foreign-host XLA:CPU AOT
+# entries can SIGILL/SIGSEGV (utils/hostcache.py).
+from unigeo_tpu.utils.hostcache import host_cache_dir
+
+_CACHE_DIR = host_cache_dir(os.path.dirname(os.path.abspath(__file__)))
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

@@ -22,8 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: kernels compile once, reruns are fast.
-# Repo-local so it survives /tmp cleanup between sessions (gitignored).
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+# Repo-local so it survives /tmp cleanup between sessions (gitignored),
+# host-keyed because foreign-host XLA:CPU AOT entries can SIGILL/SIGSEGV
+# (utils/hostcache.py).
+from unigeo_tpu.utils.hostcache import host_cache_dir  # noqa: E402
+
+_CACHE_DIR = host_cache_dir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

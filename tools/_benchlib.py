@@ -21,9 +21,11 @@ def setup_cache(path: str = None) -> None:
     import os
 
     if path is None:
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache",
+        # host-keyed: foreign-host XLA:CPU AOT entries can SIGILL/SIGSEGV
+        from unigeo_tpu.utils.hostcache import host_cache_dir
+
+        path = host_cache_dir(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

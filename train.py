@@ -2,11 +2,13 @@
 """Config-driven training CLI (the reference ships no trainer; SURVEY §2.2
 calls its robustmvd savers "vestigial" — training here is first-class).
 
-Two modes, selected by the model in the config:
+Three modes, selected by the model in the config:
   * DepthCrafter/UniGeoCam — EDM diffusion fine-tuning of the UNet on
     VAE-encoded clips (DiffusionTrainer).
   * Spann3R/Cut3R — confidence-weighted pointmap regression
     (PointmapTrainer).
+  * Aether — rectified-flow DiT training on [depth-latent | raymap]
+    targets (FlowMatchingTrainer).
 
 Usage:
     python train.py --config configs/identity_synthetic.yaml \
@@ -76,6 +78,57 @@ def build_batch_diffusion(samples, pipe):
         "latents": np.stack(lats),
         "cond_latents": np.stack(conds),
         "context": np.stack(ctxs),
+    }
+
+
+def build_batch_aether(samples, model):
+    """Clips → rectified-flow batch for FlowMatchingTrainer.
+
+    Conditioning: causal-VAE RGB latents.  Targets: [depth-video latents |
+    GT raymaps] — the Aether supervision pair: depth clip-minmax normalized
+    to [-1,1] and encoded through the same VAE (the adapter decodes
+    (x+1)/2, models/aether.py), raymaps built from the GT poses at the
+    latent keyframe times.
+    """
+    import jax.numpy as jnp
+
+    from unigeo_tpu.data.sample import prepare_gt_label
+    from unigeo_tpu.models.aether import raymap_from_pose
+
+    ct, cs = model.vae.ct, model.vae.cs
+    conds, tgts = [], []
+    for data in samples:
+        frames = np.moveaxis(data["images"], 1, -1).astype(np.float32) / 255.0
+        t = frames.shape[0]
+        pad = (-t) % ct
+        gt = prepare_gt_label(data)
+        d = np.asarray(gt["gt_depths"], np.float32)
+        lo, hi = float(d.min()), float(d.max())
+        x3 = np.repeat(
+            ((d - lo) / max(hi - lo, 1e-8) * 2.0 - 1.0)[..., None], 3, -1)
+
+        def pad_clip(a):
+            return (np.concatenate([np.repeat(a[:1], pad, 0), a], 0)
+                    if pad else a)
+
+        cond = model._encode(
+            model.vae_params, jnp.asarray(pad_clip(frames) * 2.0 - 1.0))
+        dep_lat = model._encode(model.vae_params, jnp.asarray(pad_clip(x3)))
+        tl, hl, wl = cond.shape[:3]
+        intr_lat = np.diag([1.0 / cs, 1.0 / cs, 1.0]) @ np.asarray(
+            data["intrinsics"][0])
+        key_t = np.minimum((np.arange(tl) + 1) * ct - 1 - pad, t - 1)
+        rays = np.stack([
+            raymap_from_pose(np.asarray(gt["gt_poses"][int(k)]), intr_lat,
+                             hl, wl)
+            for k in key_t
+        ])
+        tgts.append(np.concatenate(
+            [np.asarray(dep_lat, np.float32), rays.astype(np.float32)], -1))
+        conds.append(np.asarray(cond, np.float32))
+    return {
+        "target_latents": np.stack(tgts),
+        "cond_latents": np.stack(conds),
     }
 
 
@@ -203,11 +256,48 @@ def main():
         if args.steps % args.ckpt_every != 0:  # final state not yet saved
             saver.save(jax.device_get(state.params), args.steps)
         print(f"done; checkpoints in {args.ckpt_dir}")
+    elif model_name == "Aether":
+        from unigeo_tpu.models.aether import Aether, tiny_aether
+        from unigeo_tpu.parallel.trainer import FlowMatchingTrainer
+
+        sample = dataset[0]
+        t, _, h, w = sample["images"].shape
+        if args.tiny:
+            model = tiny_aether(height=h, width=w, frames=t)
+        else:
+            mp = dict(cfg.model_params or {})
+            model = Aether(init_height=h, init_width=w, init_frames=t, **mp)
+
+        with mesh:
+            trainer = FlowMatchingTrainer(model.dit, mesh, learning_rate=args.lr)
+            state = trainer.init_state(model.dit_params)
+            timer = TimeWriter(writer, "step_time", total_steps=args.steps)
+            rng = jax.random.PRNGKey(1)
+            idx = 0
+            for step in range(args.steps):
+                samples = [
+                    dataset[(idx + i) % len(dataset)]
+                    for i in range(args.batch_size)
+                ]
+                idx += args.batch_size
+                batch = build_batch_aether(samples, model)
+                rng, sub = jax.random.split(rng)
+                with timer:
+                    state, loss = trainer.train_step(state, batch, sub)
+                writer.put_scalar("loss", float(loss), step)
+                if step % 10 == 0:
+                    print(f"step {step}: loss {float(loss):.4f} "
+                          f"({timer.avg:.2f}s/step)")
+                if (step + 1) % args.ckpt_every == 0:
+                    saver.save(jax.device_get(state.params), step + 1)
+        if args.steps % args.ckpt_every != 0:  # final state not yet saved
+            saver.save(jax.device_get(state.params), args.steps)
+        print(f"done; checkpoints in {args.ckpt_dir}")
     else:
         raise SystemExit(
-            f"training driver supports pointmap models (Spann3R/Cut3R) and "
-            f"diffusion models (DepthCrafter/UniGeoCam/StableNormal). "
-            f"Got model {model_name!r}."
+            f"training driver supports pointmap models (Spann3R/Cut3R), "
+            f"diffusion models (DepthCrafter/UniGeoCam/StableNormal), and "
+            f"the flow-matching Aether. Got model {model_name!r}."
         )
 
 

@@ -1,0 +1,38 @@
+"""Host-keyed persistent compile-cache directory.
+
+XLA:CPU AOT executables embed the COMPILE machine's CPU feature set, and
+JAX's persistent-cache key does not include host features — loading a
+cache entry written on a different host warns
+("Machine type used for XLA:CPU compilation doesn't match ... could lead
+to execution errors such as SIGILL") and has produced real SIGSEGVs in
+this repo's test suite when driver rounds moved between terminal hosts.
+Key the cache directory by a /proc/cpuinfo flags fingerprint so each host
+gets its own executables while same-host reruns stay warm.
+
+Dependency-free on purpose: importable from tests/conftest.py before any
+JAX backend initializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def _host_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):  # x86 / arm
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
+def host_cache_dir(repo_root: str) -> str:
+    """<repo_root>/.jax_cache/<cpu-fingerprint> (created if missing)."""
+    path = os.path.join(repo_root, ".jax_cache", _host_tag())
+    os.makedirs(path, exist_ok=True)
+    return path
