@@ -31,8 +31,18 @@ def _host_tag() -> str:
     return platform.machine() or "unknown"
 
 
-def host_cache_dir(repo_root: str) -> str:
-    """<repo_root>/.jax_cache/<cpu-fingerprint> (created if missing)."""
-    path = os.path.join(repo_root, ".jax_cache", _host_tag())
+def host_cache_dir(repo_root: str, cpu: bool | None = None) -> str:
+    """Cache directory for the active platform (created if missing).
+
+    CPU runs get <repo_root>/.jax_cache/<cpu-fingerprint> (the AOT hazard
+    is CPU-only); accelerator runs keep the flat <repo_root>/.jax_cache so
+    warm TPU executables survive across hosts and driver rounds.  ``cpu``
+    defaults to whatever JAX_PLATFORMS requests — callers that pin the
+    platform (tests/conftest.py, dryrun_multichip) set the env var before
+    computing the cache dir.
+    """
+    if cpu is None:
+        cpu = os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
+    path = os.path.join(repo_root, ".jax_cache", _host_tag() if cpu else "")
     os.makedirs(path, exist_ok=True)
     return path
