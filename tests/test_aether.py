@@ -139,6 +139,25 @@ def test_adapter_contract(model):
     np.testing.assert_allclose(out["pred_world_pts"][0], pts0, atol=1e-4)
 
 
+def test_flow_sample_context_parallel_matches_serial(model):
+    """sp-sharded flow sampling == single-device sampling (the DiT's token
+    sequence is the latent frame axis × spatial patches; XLA inserts the
+    K/V all-gathers).  Tolerance: f32 reduction-order noise only."""
+    from unigeo_tpu.parallel.context import flow_sample_context_parallel
+    from unigeo_tpu.parallel.mesh import make_mesh
+
+    tl, hl, wl = 4, 8, 8  # tl divisible by sp=4
+    rng = jax.random.PRNGKey(6)
+    cond = jax.random.normal(rng, (tl, hl, wl, model.vae.z_channels))
+    noise = jax.random.normal(jax.random.fold_in(rng, 1),
+                              (tl, hl, wl, model.target_channels))
+    serial = np.asarray(model._sample(model.dit_params, cond, noise, steps=2))
+    mesh = make_mesh(4, shape=(1, 4, 1))
+    sharded = np.asarray(flow_sample_context_parallel(
+        model, model.dit_params, cond, noise, 2, mesh))
+    np.testing.assert_allclose(sharded, serial, atol=2e-4)
+
+
 def test_adapter_odd_frame_count(model):
     """T not divisible by the temporal compression: left-pad + crop is
     exact (no frame lost, no pad leak into outputs)."""

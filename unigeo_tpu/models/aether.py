@@ -490,7 +490,9 @@ class Aether:
             t = 1.0 - i.astype(jnp.float32) / steps
             v = self.dit.apply(
                 params, jnp.concatenate([cond_lat, x], axis=-1), t)
-            return x - (1.0 / steps) * v
+            # keep the carry dtype: the DiT's f32 positional tables promote
+            # its output even under bf16 params/noise
+            return x - (1.0 / steps) * v.astype(x.dtype)
 
         return jax.lax.fori_loop(0, steps, body, noise)
 

@@ -42,3 +42,26 @@ def denoise_context_parallel(
         return pipeline._denoise_stage(
             params, cond_latents, context, noise, num_inference_steps
         )
+
+
+def flow_sample_context_parallel(
+    model, params, cond_latents, noise, steps: int, mesh: Mesh,
+    axis_name: str = "sp",
+):
+    """Aether flow sampling with latent FRAMES sharded over ``axis_name``.
+
+    The DiT flattens [T', gh, gw] to one space-time token sequence with T'
+    leading, so sharding the latent frame axis shards the sequence in
+    contiguous blocks: the per-token projections and MLPs partition
+    cleanly, and XLA inserts the K/V all-gathers the full-3D attention
+    needs (each device computes its query block against the gathered
+    keys).  Long clips whose token count would blow one chip's HBM at
+    production width run unchanged — model code is identical to the
+    single-chip path (tested against serial in tests/test_aether.py).
+    """
+    cond_latents, noise = shard_clip_over_frames(
+        mesh, cond_latents, noise, axis_name=axis_name
+    )
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    with mesh:
+        return model._sample(params, cond_latents, noise, steps=steps)
