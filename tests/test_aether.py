@@ -91,6 +91,22 @@ def test_vae_shapes_roundtrip(model):
     assert rec.shape == frames.shape
 
 
+def test_fused_upsample_matches_plain(model):
+    """Fused lhs-dilated decode == resize+conv decode with the SAME params
+    (the fusion is a kernel-transform identity, not an approximation)."""
+    vae = model.vae
+    plain = CausalVAE3D(
+        base_width=vae.base_width, mults=vae.mults,
+        temporal_down=vae.temporal_down, z_channels=vae.z_channels,
+        fused_upsample=False)
+    z = jax.random.normal(jax.random.PRNGKey(7),
+                          (2, 8, 8, vae.z_channels))
+    fused = vae.apply(model.vae_params, z, method=CausalVAE3D.decode)
+    ref = plain.apply(model.vae_params, z, method=CausalVAE3D.decode)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_raymap_pose_recovery_exact():
     """pose → raymap → pose is closed-form exact (Kabsch on directions +
     mean origin)."""

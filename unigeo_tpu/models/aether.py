@@ -59,6 +59,22 @@ from unigeo_tpu.registry import MODELS
 # ---------------------------------------------------------------------------
 
 
+class _Conv3dParams(nn.Module):
+    """Kernel + bias with nn.Conv's exact names/shapes/inits so the fused
+    path's checkpoint layout is identical to the plain conv's."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            tuple(self.kernel) + (cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class CausalConv3d(nn.Module):
     """Conv over [T, H, W, C]: SAME spatial padding, temporal padding only
     on the PAST (edge-replicate), optional (time, space) strides.
@@ -74,6 +90,11 @@ class CausalConv3d(nn.Module):
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     strides: Tuple[int, int, int] = (1, 1, 1)
+    # conv3d(nearest_up2_spatial(x)) as ONE lhs-dilated conv on the low-res
+    # input — the layers.Conv2d fuse_upsample2x trick (2.6x at 2D-VAE
+    # decoder shapes on v5e) extended to the 3D kernel's spatial dims; the
+    # temporal dim keeps its causal pad.  Param layout identical.
+    fuse_upsample2x: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -82,6 +103,25 @@ class CausalConv3d(nn.Module):
         if kt - st > 0:
             pad = jnp.repeat(x[:1], kt - st, axis=0)
             x = jnp.concatenate([pad, x], axis=0)
+        if self.fuse_upsample2x:
+            assert (kh, kw) == (3, 3) and (st, sh, sw) == (1, 1, 1)
+            kk, b = _Conv3dParams(
+                self.features, self.kernel, name="conv")(x.shape[-1])
+            dtype = jnp.result_type(x.dtype, kk.dtype)
+            kk = kk.astype(dtype)  # [kt, 3, 3, in, out]
+            kp = jnp.zeros((kt, 4, 4, x.shape[-1], self.features), dtype)
+            for u in range(2):
+                for v in range(2):
+                    kp = kp.at[:, u : u + 3, v : v + 3].add(kk)
+            dn = jax.lax.conv_dimension_numbers(
+                x[None].shape, kp.shape, ("NTHWC", "THWIO", "NTHWC")
+            )
+            y = jax.lax.conv_general_dilated(
+                x[None].astype(dtype), kp, (1, 1, 1),
+                ((0, 0), (2, 2), (2, 2)),
+                lhs_dilation=(1, 2, 2), dimension_numbers=dn,
+            )[0]
+            return y + b.astype(dtype)
         # lax conv wants a batch axis; time becomes a spatial dim of Conv
         x = nn.Conv(
             self.features,
@@ -134,6 +174,7 @@ class _VAEDecoder3D(nn.Module):
     base_width: int
     mults: Sequence[int]
     temporal_down: Sequence[bool]
+    fused_upsample: bool = True  # False = reference repeat+conv path
 
     @nn.compact
     def __call__(self, z):
@@ -148,9 +189,15 @@ class _VAEDecoder3D(nn.Module):
                 # causal temporal upsample: frames 2k and 2k+1 both come
                 # from latent k (nearest on the past side)
                 x = jnp.repeat(x, 2, axis=0)
-            x = jax.image.resize(x, (x.shape[0], hh * 2, ww * 2, c),
-                                 method="nearest")
-            x = CausalConv3d(w, name=f"dec_up{i}")(x)
+            if self.fused_upsample:
+                # spatial nearest-up2x folded into the conv (exact;
+                # tests/test_aether.py::test_fused_upsample_matches_plain)
+                x = CausalConv3d(
+                    w, fuse_upsample2x=True, name=f"dec_up{i}")(x)
+            else:
+                x = jax.image.resize(x, (x.shape[0], hh * 2, ww * 2, c),
+                                     method="nearest")
+                x = CausalConv3d(w, name=f"dec_up{i}")(x)
             x = CausalResBlock3d(w, name=f"dec_res{i}")(x)
         x = nn.silu(GroupNorm(name="dec_norm")(x))
         return CausalConv3d(3, name="dec_out")(x)
@@ -170,6 +217,7 @@ class CausalVAE3D(nn.Module):
     mults: Sequence[int] = (1, 2, 4)
     temporal_down: Sequence[bool] = (False, True, True)
     z_channels: int = 8
+    fused_upsample: bool = True
 
     @property
     def ct(self) -> int:
@@ -184,7 +232,8 @@ class CausalVAE3D(nn.Module):
             self.base_width, self.mults, self.temporal_down,
             self.z_channels, name="encoder")
         self.decoder = _VAEDecoder3D(
-            self.base_width, self.mults, self.temporal_down, name="decoder")
+            self.base_width, self.mults, self.temporal_down,
+            self.fused_upsample, name="decoder")
 
     def __call__(self, frames):
         """Full roundtrip (used for init so both halves get params)."""
