@@ -93,7 +93,7 @@ def build_batch_aether(samples, model):
     import jax.numpy as jnp
 
     from unigeo_tpu.data.sample import prepare_gt_label
-    from unigeo_tpu.models.aether import raymap_from_pose
+    from unigeo_tpu.models.aether import latent_key_times, raymap_from_pose
 
     ct, cs = model.vae.ct, model.vae.cs
     conds, tgts = [], []
@@ -103,9 +103,15 @@ def build_batch_aether(samples, model):
         pad = (-t) % ct
         gt = prepare_gt_label(data)
         d = np.asarray(gt["gt_depths"], np.float32)
-        lo, hi = float(d.min()), float(d.max())
-        x3 = np.repeat(
-            ((d - lo) / max(hi - lo, 1e-8) * 2.0 - 1.0)[..., None], 3, -1)
+        # invalid pixels (sentinel-0 depth etc.) must drive neither the
+        # clip normalization nor the regression target: normalize on the
+        # VALID range and fill holes with mid-range gray
+        m = np.asarray(gt["gt_masks"], bool)
+        valid = d[m]
+        lo = float(valid.min()) if valid.size else 0.0
+        hi = float(valid.max()) if valid.size else 1.0
+        x = np.where(m, (d - lo) / max(hi - lo, 1e-8), 0.5)
+        x3 = np.repeat((x * 2.0 - 1.0)[..., None], 3, -1)
 
         def pad_clip(a):
             return (np.concatenate([np.repeat(a[:1], pad, 0), a], 0)
@@ -117,7 +123,7 @@ def build_batch_aether(samples, model):
         tl, hl, wl = cond.shape[:3]
         intr_lat = np.diag([1.0 / cs, 1.0 / cs, 1.0]) @ np.asarray(
             data["intrinsics"][0])
-        key_t = np.minimum((np.arange(tl) + 1) * ct - 1 - pad, t - 1)
+        key_t = latent_key_times(tl, ct, pad, t)
         rays = np.stack([
             raymap_from_pose(np.asarray(gt["gt_poses"][int(k)]), intr_lat,
                              hl, wl)
@@ -130,6 +136,44 @@ def build_batch_aether(samples, model):
         "target_latents": np.stack(tgts),
         "cond_latents": np.stack(conds),
     }
+
+
+def run_training_loop(mesh, state, step_fn, make_batch, dataset, args,
+                      writer, saver, export_params, needs_rng=True):
+    """The one training driver shared by every trainer family: streams
+    batches, times/logs steps, rotates checkpoints, saves the final state."""
+    import jax
+
+    from unigeo_tpu.utils.writers import TimeWriter
+
+    with mesh:
+        timer = TimeWriter(writer, "step_time", total_steps=args.steps)
+        rng = jax.random.PRNGKey(1)
+        idx = 0
+        for step in range(args.steps):
+            samples = [
+                dataset[(idx + i) % len(dataset)]
+                for i in range(args.batch_size)
+            ]
+            idx += args.batch_size
+            batch = make_batch(samples)
+            if needs_rng:
+                rng, sub = jax.random.split(rng)
+                with timer:
+                    state, loss = step_fn(state, batch, sub)
+            else:
+                with timer:
+                    state, loss = step_fn(state, batch)
+            writer.put_scalar("loss", float(loss), step)
+            if step % 10 == 0:
+                print(f"step {step}: loss {float(loss):.4f} "
+                      f"({timer.avg:.2f}s/step)")
+            if (step + 1) % args.ckpt_every == 0:
+                saver.save(export_params(state), step + 1)
+    if args.steps % args.ckpt_every != 0:  # final state not yet saved
+        saver.save(export_params(state), args.steps)
+    print(f"done; checkpoints in {args.ckpt_dir}")
+    return state
 
 
 def main():
@@ -157,7 +201,7 @@ def main():
     from unigeo_tpu.parallel.trainer import PointmapTrainer
     from unigeo_tpu.registry import get_dataset_cls
     from unigeo_tpu.utils.checkpoint import TrainStateSaver
-    from unigeo_tpu.utils.writers import EventWriter, TimeWriter
+    from unigeo_tpu.utils.writers import EventWriter
 
     cfg = EvalConfig.from_yaml(args.config)
     if args.model:
@@ -192,23 +236,12 @@ def main():
         with mesh:
             trainer = PointmapTrainer(net, mesh, learning_rate=args.lr)
             state = trainer.init_state(params)
-            timer = TimeWriter(writer, "step_time", total_steps=args.steps)
-            idx = 0
-            for step in range(args.steps):
-                samples = [dataset[(idx + i) % len(dataset)] for i in range(args.batch_size)]
-                idx += args.batch_size
-                batch = build_batch_pointmap(samples)
-                with timer:
-                    state, loss = trainer.train_step(state, batch)
-                writer.put_scalar("loss", float(loss), step)
-                if step % 10 == 0:
-                    print(f"step {step}: loss {float(loss):.4f} "
-                          f"({timer.avg:.2f}s/step)")
-                if (step + 1) % args.ckpt_every == 0:
-                    saver.save(jax.device_get(state.params), step + 1)
-        if args.steps % args.ckpt_every != 0:  # final state not yet saved
-            saver.save(jax.device_get(state.params), args.steps)
-        print(f"done; checkpoints in {args.ckpt_dir}")
+        run_training_loop(
+            mesh, state, trainer.train_step, build_batch_pointmap, dataset,
+            args, writer, saver,
+            export_params=lambda s: jax.device_get(s.params),
+            needs_rng=False,
+        )
     elif model_name in ("DepthCrafter", "UniGeoCam", "UniGeo", "StableNormal"):
         from unigeo_tpu.parallel.trainer import DiffusionTrainer
 
@@ -231,31 +264,12 @@ def main():
         with mesh:
             trainer = DiffusionTrainer(pipe.unet, mesh, learning_rate=args.lr)
             state = trainer.init_state(pipe.params["unet"])
-            timer = TimeWriter(writer, "step_time", total_steps=args.steps)
-            rng = jax.random.PRNGKey(1)
-            step_fn = None
-            idx = 0
-            for step in range(args.steps):
-                samples = [
-                    dataset[(idx + i) % len(dataset)]
-                    for i in range(args.batch_size)
-                ]
-                idx += args.batch_size
-                batch = build_batch_diffusion(samples, pipe)
-                if step_fn is None:
-                    step_fn = trainer.make_step(batch, t)
-                rng, sub = jax.random.split(rng)
-                with timer:
-                    state, loss = step_fn(state, batch, sub)
-                writer.put_scalar("loss", float(loss), step)
-                if step % 10 == 0:
-                    print(f"step {step}: loss {float(loss):.4f} "
-                          f"({timer.avg:.2f}s/step)")
-                if (step + 1) % args.ckpt_every == 0:
-                    saver.save(jax.device_get(state.params), step + 1)
-        if args.steps % args.ckpt_every != 0:  # final state not yet saved
-            saver.save(jax.device_get(state.params), args.steps)
-        print(f"done; checkpoints in {args.ckpt_dir}")
+        run_training_loop(
+            mesh, state, trainer.train_step,
+            lambda samples: build_batch_diffusion(samples, pipe), dataset,
+            args, writer, saver,
+            export_params=lambda s: jax.device_get(s.params),
+        )
     elif model_name == "Aether":
         from unigeo_tpu.models.aether import Aether, tiny_aether
         from unigeo_tpu.parallel.trainer import FlowMatchingTrainer
@@ -266,33 +280,24 @@ def main():
             model = tiny_aether(height=h, width=w, frames=t)
         else:
             mp = dict(cfg.model_params or {})
+            for k in ("init_height", "init_width", "init_frames"):
+                mp.pop(k, None)  # sized from the dataset's clips
             model = Aether(init_height=h, init_width=w, init_frames=t, **mp)
 
         with mesh:
             trainer = FlowMatchingTrainer(model.dit, mesh, learning_rate=args.lr)
             state = trainer.init_state(model.dit_params)
-            timer = TimeWriter(writer, "step_time", total_steps=args.steps)
-            rng = jax.random.PRNGKey(1)
-            idx = 0
-            for step in range(args.steps):
-                samples = [
-                    dataset[(idx + i) % len(dataset)]
-                    for i in range(args.batch_size)
-                ]
-                idx += args.batch_size
-                batch = build_batch_aether(samples, model)
-                rng, sub = jax.random.split(rng)
-                with timer:
-                    state, loss = trainer.train_step(state, batch, sub)
-                writer.put_scalar("loss", float(loss), step)
-                if step % 10 == 0:
-                    print(f"step {step}: loss {float(loss):.4f} "
-                          f"({timer.avg:.2f}s/step)")
-                if (step + 1) % args.ckpt_every == 0:
-                    saver.save(jax.device_get(state.params), step + 1)
-        if args.steps % args.ckpt_every != 0:  # final state not yet saved
-            saver.save(jax.device_get(state.params), args.steps)
-        print(f"done; checkpoints in {args.ckpt_dir}")
+        # save the layout Aether(checkpoint_path=...) loads: the trained
+        # DiT plus the (frozen) VAE that produced the training targets
+        run_training_loop(
+            mesh, state, trainer.train_step,
+            lambda samples: build_batch_aether(samples, model), dataset,
+            args, writer, saver,
+            export_params=lambda s: {
+                "vae": jax.device_get(model.vae_params),
+                "dit": jax.device_get(s.params),
+            },
+        )
     else:
         raise SystemExit(
             f"training driver supports pointmap models (Spann3R/Cut3R), "

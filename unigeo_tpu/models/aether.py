@@ -440,6 +440,16 @@ def pose_from_raymap(raymap, intrinsic):
     return pose
 
 
+def latent_key_times(tl: int, ct: int, pad: int, t: int) -> np.ndarray:
+    """Causal time anchor of each latent keyframe: latent i covers input
+    frames [i·ct - pad, (i+1)·ct - pad) and is anchored at the LAST frame
+    it can see.  One definition shared by the training raymap targets
+    (train.build_batch_aether) and inference pose recovery — if the two
+    sides disagree, pose interpolation silently mismatches supervision."""
+    return np.minimum((np.arange(tl) + 1) * ct - 1 - pad, t - 1).astype(
+        np.float64)
+
+
 def interpolate_poses(key_poses, key_times, query_times):
     """Per-frame poses from latent-keyframe poses: quaternion slerp on
     rotations + linear translation (host-side numpy; tiny)."""
@@ -577,10 +587,7 @@ class Aether:
         raymaps_np = np.asarray(raymaps)
         key_poses = np.stack(
             [pose_from_raymap(raymaps_np[i], intr_lat) for i in range(tl)])
-        # latent keyframe i covers input frames [i·ct - pad, (i+1)·ct - pad);
-        # anchor it at the last frame it can see (causal VAE)
-        key_times = np.minimum(
-            (np.arange(tl) + 1) * ct - 1 - pad, t - 1).astype(np.float64)
+        key_times = latent_key_times(tl, ct, pad, t)
         poses = interpolate_poses(np.asarray(key_poses), key_times,
                                   np.arange(t))
         # frame 0 = world (dataset/Readme.md:22-33)

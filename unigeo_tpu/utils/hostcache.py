@@ -37,12 +37,14 @@ def host_cache_dir(repo_root: str, cpu: bool | None = None) -> str:
     CPU runs get <repo_root>/.jax_cache/<cpu-fingerprint> (the AOT hazard
     is CPU-only); accelerator runs keep the flat <repo_root>/.jax_cache so
     warm TPU executables survive across hosts and driver rounds.  ``cpu``
-    defaults to whatever JAX_PLATFORMS requests — callers that pin the
-    platform (tests/conftest.py, dryrun_multichip) set the env var before
-    computing the cache dir.
+    defaults from JAX_PLATFORMS, treating "" (unset) as CPU: an unset env
+    on a TPU-less host silently falls back to the CPU backend, which must
+    NOT write host-specific AOT executables into the shared flat dir.
+    (The axon sitecustomize always sets JAX_PLATFORMS=axon on TPU hosts,
+    so accelerator runs still resolve to the flat dir.)
     """
     if cpu is None:
-        cpu = os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
+        cpu = os.environ.get("JAX_PLATFORMS", "").split(",")[0] in ("", "cpu")
     path = os.path.join(repo_root, ".jax_cache", _host_tag() if cpu else "")
     os.makedirs(path, exist_ok=True)
     return path
