@@ -74,6 +74,35 @@ def test_pointmap_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_dust3r_pair_train_step_decreases_loss():
+    """Pair-mode DUSt3R training: both views supervised in the reference
+    frame, loss decreases over repeated steps on one batch."""
+    from unigeo_tpu.models.pointmap.dust3r import Dust3RNetwork, tiny_dust3r_config
+    from unigeo_tpu.parallel.trainer import Dust3RTrainer
+
+    mesh = make_mesh(8)
+    net = Dust3RNetwork(**tiny_dust3r_config())
+    b, t, h, w = 2, 3, 32, 32
+    zero = jnp.zeros((1, h, w, 3))
+    params = net.init(jax.random.PRNGKey(0), zero, zero)
+    rng = np.random.default_rng(3)
+    batch = {
+        "frames": jnp.asarray(rng.uniform(size=(b, t, h, w, 3)), jnp.float32),
+        "gt_world_pts": jnp.asarray(
+            rng.normal(size=(b, t, h, w, 3)) + [0, 0, 2.0], jnp.float32),
+        "mask": jnp.ones((b, t, h, w), jnp.float32),
+    }
+    with mesh:
+        trainer = Dust3RTrainer(net, mesh, learning_rate=3e-4)
+        state = trainer.init_state(params)
+        losses = []
+        for _ in range(4):
+            state, loss = trainer.train_step(state, batch)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_flow_matching_train_step_decreases_loss():
     """Rectified-flow trainer on a tiny Aether DiT over the dp mesh."""
     from unigeo_tpu.models.aether import tiny_aether

@@ -5,8 +5,8 @@ calls its robustmvd savers "vestigial" — training here is first-class).
 Three modes, selected by the model in the config:
   * DepthCrafter/UniGeoCam — EDM diffusion fine-tuning of the UNet on
     VAE-encoded clips (DiffusionTrainer).
-  * Spann3R/Cut3R — confidence-weighted pointmap regression
-    (PointmapTrainer).
+  * Spann3R/Cut3R/Dust3R — confidence-weighted pointmap regression
+    (PointmapTrainer; Dust3RTrainer pair mode for the two-view net).
   * Aether — rectified-flow DiT training on [depth-latent | raymap]
     targets (FlowMatchingTrainer).
 
@@ -218,11 +218,21 @@ def main():
     saver = TrainStateSaver(args.ckpt_dir)
 
     model_name = cfg.model_name
-    if model_name in ("Spann3R", "Cut3R"):
+    if model_name in ("Spann3R", "Cut3R", "Dust3R"):
+        trainer_cls = PointmapTrainer
         if model_name == "Cut3R":
             from unigeo_tpu.models.pointmap.cut3r import Cut3RNetwork, tiny_cut3r_config
 
             net = Cut3RNetwork(**(tiny_cut3r_config() if args.tiny else {}))
+        elif model_name == "Dust3R":
+            from unigeo_tpu.models.pointmap.dust3r import (
+                Dust3RNetwork,
+                tiny_dust3r_config,
+            )
+            from unigeo_tpu.parallel.trainer import Dust3RTrainer
+
+            net = Dust3RNetwork(**(tiny_dust3r_config() if args.tiny else {}))
+            trainer_cls = Dust3RTrainer
         else:
             from unigeo_tpu.models.pointmap.spann3r import (
                 Spann3RNetwork,
@@ -232,9 +242,13 @@ def main():
             net = Spann3RNetwork(**(tiny_spann3r_config() if args.tiny else {}))
         sample = dataset[0]
         t, _, h, w = sample["images"].shape
-        params = net.init(jax.random.PRNGKey(0), jnp.zeros((t, h, w, 3)))
+        if model_name == "Dust3R":  # two-view (pair) signature
+            zero = jnp.zeros((1, h, w, 3))
+            params = net.init(jax.random.PRNGKey(0), zero, zero)
+        else:
+            params = net.init(jax.random.PRNGKey(0), jnp.zeros((t, h, w, 3)))
         with mesh:
-            trainer = PointmapTrainer(net, mesh, learning_rate=args.lr)
+            trainer = trainer_cls(net, mesh, learning_rate=args.lr)
             state = trainer.init_state(params)
         run_training_loop(
             mesh, state, trainer.train_step, build_batch_pointmap, dataset,
@@ -300,9 +314,10 @@ def main():
         )
     else:
         raise SystemExit(
-            f"training driver supports pointmap models (Spann3R/Cut3R), "
-            f"diffusion models (DepthCrafter/UniGeoCam/StableNormal), and "
-            f"the flow-matching Aether. Got model {model_name!r}."
+            f"training driver supports pointmap models (Spann3R/Cut3R/"
+            f"Dust3R), diffusion models (DepthCrafter/UniGeoCam/"
+            f"StableNormal), and the flow-matching Aether. "
+            f"Got model {model_name!r}."
         )
 
 

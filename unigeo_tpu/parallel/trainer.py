@@ -267,3 +267,34 @@ class PointmapTrainer:
         if self._step_fn is None:
             self.make_step(batch)
         return self._step_fn(state, batch)
+
+
+class Dust3RTrainer(PointmapTrainer):
+    """Pair-mode pointmap training for the DUSt3R two-view network.
+
+    DUSt3R's loss supervises BOTH views' pointmaps in the reference view's
+    frame (confidence-weighted Regr3D).  Clips train as the adapter
+    infers: all (frame0, frame_i) pairs in one program, frame 0 = world,
+    so gt_world_pts supervise pts1 (view1 = frame 0, broadcast) and pts2
+    (view2 = frame i) directly.  Inherits the sharded step machinery.
+    """
+
+    def _loss(self, params, batch):
+        from unigeo_tpu.models.pointmap.losses import pointmap_regression_loss
+
+        frames = batch["frames"]  # [B, T, H, W, 3] in 0..1
+        gt_pts = batch["gt_world_pts"]
+        valid = batch["mask"]
+
+        def per_clip(f, g, v):
+            ref = jnp.broadcast_to(f[:1], f[1:].shape)
+            pts1, pts2, conf1, conf2 = self.network.apply(params, ref, f[1:])
+            g_ref = jnp.broadcast_to(g[:1], g[1:].shape)
+            v_ref = jnp.broadcast_to(v[:1], v[1:].shape)
+            l1 = pointmap_regression_loss(
+                pts1, g_ref, v_ref, conf1, self.conf_alpha)
+            l2 = pointmap_regression_loss(
+                pts2, g[1:], v[1:], conf2, self.conf_alpha)
+            return l1 + l2
+
+        return jnp.mean(jax.vmap(per_clip)(frames, gt_pts, valid))
