@@ -103,6 +103,44 @@ def test_dust3r_pair_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_disparity_train_step_decreases_loss():
+    """SSI-disparity trainer on a tiny VDA net; also checks the affine
+    invariance of the loss (scaled/shifted gt gives the same loss)."""
+    from unigeo_tpu.models.vda import VDANetwork, tiny_vda_config
+    from unigeo_tpu.parallel.trainer import DisparityTrainer
+
+    mesh = make_mesh(8)
+    net = VDANetwork(**tiny_vda_config())
+    b, t, h, w = 2, 3, 32, 32
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((t, h, w, 3)))
+    rng = np.random.default_rng(4)
+    batch = {
+        "frames": jnp.asarray(rng.uniform(size=(b, t, h, w, 3)), jnp.float32),
+        "gt_disp": jnp.asarray(
+            rng.uniform(0.2, 2.0, size=(b, t, h, w)), jnp.float32),
+        "mask": jnp.ones((b, t, h, w), jnp.float32),
+    }
+    with mesh:
+        trainer = DisparityTrainer(net, mesh, learning_rate=3e-4)
+        state = trainer.init_state(params)
+        losses = []
+        for _ in range(4):
+            state, loss = trainer.train_step(state, batch)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # prediction-side affine invariance: the alignment absorbs any (s, b)
+    # applied to the PREDICTION, so perfect-up-to-affine predictions give
+    # zero loss — check via the loss fn directly with pred == 3*gt + 1
+    class Stub:
+        def apply(self, p, f):
+            return 3.0 * batch["gt_disp"][0] + 1.0
+
+    t2 = DisparityTrainer(Stub(), mesh)
+    l0 = float(t2._loss(None, jax.tree.map(lambda x: x[:1], batch)))
+    assert l0 < 1e-5
+
+
 def test_flow_matching_train_step_decreases_loss():
     """Rectified-flow trainer on a tiny Aether DiT over the dp mesh."""
     from unigeo_tpu.models.aether import tiny_aether

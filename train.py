@@ -9,6 +9,8 @@ Three modes, selected by the model in the config:
     (PointmapTrainer; Dust3RTrainer pair mode for the two-view net).
   * Aether — rectified-flow DiT training on [depth-latent | raymap]
     targets (FlowMatchingTrainer).
+  * VideoDepthAnything — scale-shift-invariant disparity + temporal
+    gradient matching (DisparityTrainer).
 
 Usage:
     python train.py --config configs/identity_synthetic.yaml \
@@ -79,6 +81,27 @@ def build_batch_diffusion(samples, pipe):
         "cond_latents": np.stack(conds),
         "context": np.stack(ctxs),
     }
+
+
+def build_batch_disparity(samples):
+    """Clips → SSI-disparity batch for DisparityTrainer: gt disparity =
+    1/depth on valid pixels (affine alignment in the loss makes the scale
+    irrelevant, matching the adapter's relative-output contract)."""
+    from unigeo_tpu.data.sample import prepare_gt_label
+
+    batch = []
+    for data in samples:
+        gt = prepare_gt_label(data)
+        d = np.asarray(gt["gt_depths"], np.float32)
+        m = np.asarray(gt["gt_masks"], np.float32)
+        disp = np.where(m > 0, 1.0 / np.maximum(d, 1e-3), 0.0)
+        batch.append({
+            "frames": np.moveaxis(data["images"], 1, -1).astype(np.float32)
+            / 255.0,
+            "gt_disp": disp.astype(np.float32),
+            "mask": m,
+        })
+    return {k: np.stack([b[k] for b in batch]) for k in batch[0]}
 
 
 def build_batch_aether(samples, model):
@@ -283,6 +306,23 @@ def main():
             lambda samples: build_batch_diffusion(samples, pipe), dataset,
             args, writer, saver,
             export_params=lambda s: jax.device_get(s.params),
+        )
+    elif model_name == "VideoDepthAnything":
+        from unigeo_tpu.models.vda import VDANetwork, tiny_vda_config
+        from unigeo_tpu.parallel.trainer import DisparityTrainer
+
+        net = VDANetwork(**(tiny_vda_config() if args.tiny else {}))
+        sample = dataset[0]
+        t, _, h, w = sample["images"].shape
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((t, h, w, 3)))
+        with mesh:
+            trainer = DisparityTrainer(net, mesh, learning_rate=args.lr)
+            state = trainer.init_state(params)
+        run_training_loop(
+            mesh, state, trainer.train_step, build_batch_disparity, dataset,
+            args, writer, saver,
+            export_params=lambda s: jax.device_get(s.params),
+            needs_rng=False,
         )
     elif model_name == "Aether":
         from unigeo_tpu.models.aether import Aether, tiny_aether

@@ -269,6 +269,90 @@ class PointmapTrainer:
         return self._step_fn(state, batch)
 
 
+class DisparityTrainer:
+    """Sharded train step for the feed-forward video-depth family
+    (VideoDepthAnything-class): scale-shift-invariant disparity loss +
+    temporal gradient matching (the method's public recipe — affine
+    alignment makes the supervision consistent with the adapter's
+    min-max-normalized relative output).
+
+    Batch layout [B, T, H, W, ...]: B shards on dp; frames stay whole per
+    clip (the temporal modules mix across T).
+    """
+
+    def __init__(self, network, mesh: Mesh, learning_rate: float = 1e-4,
+                 weight_decay: float = 1e-2, temporal_weight: float = 1.0):
+        self.network = network
+        self.mesh = mesh
+        self.optimizer = optax.adamw(learning_rate, weight_decay=weight_decay)
+        self.temporal_weight = temporal_weight
+        self._step_fn = None
+
+    def init_state(self, params) -> TrainState:
+        params = shard_params(params, self.mesh)
+        return TrainState(params, self.optimizer.init(params),
+                          jnp.zeros((), jnp.int32))
+
+    @staticmethod
+    def _align_scale_shift(pred, gt, m):
+        """Per-frame masked least-squares (s, b) with s·pred + b ≈ gt.
+        pred/gt [T, H, W], m [T, H, W] in {0,1}; closed form from masked
+        first/second moments (same minimizer as metrics/alignment lstsq)."""
+        n = jnp.maximum(m.sum(axis=(1, 2)), 1.0)
+        mp = (m * pred).sum(axis=(1, 2)) / n
+        mg = (m * gt).sum(axis=(1, 2)) / n
+        var = (m * (pred - mp[:, None, None]) ** 2).sum(axis=(1, 2)) / n
+        cov = (m * (pred - mp[:, None, None]) * (gt - mg[:, None, None])
+               ).sum(axis=(1, 2)) / n
+        s = cov / jnp.maximum(var, 1e-8)
+        b = mg - s * mp
+        return s[:, None, None], b[:, None, None]
+
+    def _loss(self, params, batch):
+        frames = batch["frames"]  # [B, T, H, W, 3] in 0..1
+        gt_disp = batch["gt_disp"]  # [B, T, H, W] (1/depth)
+        valid = batch["mask"]  # [B, T, H, W]
+
+        def per_clip(f, g, m):
+            pred = self.network.apply(params, f)  # [T, H, W]
+            s, b = self._align_scale_shift(pred, g, m)
+            aligned = s * pred + b
+            n = jnp.maximum(m.sum(), 1.0)
+            ssi = (m * jnp.abs(aligned - g)).sum() / n
+            # temporal gradient matching on the aligned prediction
+            dp = aligned[1:] - aligned[:-1]
+            dg = g[1:] - g[:-1]
+            mt = m[1:] * m[:-1]
+            tgm = (mt * jnp.abs(dp - dg)).sum() / jnp.maximum(mt.sum(), 1.0)
+            return ssi + self.temporal_weight * tgm
+
+        return jnp.mean(jax.vmap(per_clip)(frames, gt_disp, valid))
+
+    def make_step(self, example_batch):
+        mesh = self.mesh
+        batch_sharding = jax.tree.map(
+            lambda x: NamedSharding(mesh, P("dp")), example_batch
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: TrainState, batch):
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+            loss, grads = jax.value_and_grad(self._loss)(state.params, batch)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        self._step_fn = step_fn
+        return step_fn
+
+    def train_step(self, state, batch):
+        if self._step_fn is None:
+            self.make_step(batch)
+        return self._step_fn(state, batch)
+
+
 class Dust3RTrainer(PointmapTrainer):
     """Pair-mode pointmap training for the DUSt3R two-view network.
 
