@@ -46,14 +46,31 @@ def build_batch_pointmap(samples):
     return {k: np.stack([b[k] for b in batch]) for k in batch[0]}
 
 
-def build_batch_diffusion(samples, pipe):
+def _normalized_depth_target(gt, direct_depth: bool) -> np.ndarray:
+    """GT depth → clip-minmax-normalized [0,1] target on VALID pixels.
+
+    direct_depth=False: inverse depth — the representation the DepthCrafter
+    postproc inverts (model/depthcrafter.py:92-97).  direct_depth=True:
+    depth itself — the ChronoDepth/DepthAnyVideo recipe ((x+1)/2 decode,
+    models/chronodepth.py).  Invalid pixels (gt_masks) drive neither the
+    normalization nor the target (mid-range fill).
+    """
+    d = np.asarray(gt["gt_depths"], np.float32)
+    rep = d if direct_depth else 1.0 / np.maximum(d, 1e-3)
+    m = np.asarray(gt["gt_masks"], bool)
+    valid = rep[m]
+    lo = float(valid.min()) if valid.size else 0.0
+    hi = float(valid.max()) if valid.size else 1.0
+    return np.where(m, (rep - lo) / max(hi - lo, 1e-8), 0.5)
+
+
+def build_batch_diffusion(samples, pipe, direct_depth: bool = False):
     """Clips → EDM training batch for DiffusionTrainer.
 
-    Target latents encode the clip's GT depth in the representation the
-    DepthCrafter postproc inverts (model/depthcrafter.py:92-97 lineage):
-    clip-minmax-normalized inverse depth in [-1,1], tiled to 3 channels,
-    VAE-encoded into the SCALED (0.18215) latent space.  Conditioning is
-    the standard unscaled RGB latent + CLIP context from _encode_stage.
+    Target latents encode the clip's GT depth (inverse or direct — see
+    _normalized_depth_target) in [-1,1], tiled to 3 channels, VAE-encoded
+    into the SCALED (0.18215) latent space.  Conditioning is the standard
+    unscaled RGB latent + CLIP context from _encode_stage.
     """
     import jax.numpy as jnp
 
@@ -63,9 +80,7 @@ def build_batch_diffusion(samples, pipe):
     for data in samples:
         frames = np.moveaxis(data["images"], 1, -1).astype(np.float32) / 255.0
         gt = prepare_gt_label(data)
-        inv = 1.0 / np.maximum(np.asarray(gt["gt_depths"], np.float32), 1e-3)
-        lo, hi = float(inv.min()), float(inv.max())
-        x = (inv - lo) / max(hi - lo, 1e-8)  # [0,1], clip-normalized
+        x = _normalized_depth_target(gt, direct_depth)
         x3 = np.repeat((x * 2.0 - 1.0)[..., None], 3, axis=-1)
         cond, ctx = pipe._encode_stage(pipe.params, jnp.asarray(frames), None)
         lat = pipe.vae.apply(
@@ -125,15 +140,7 @@ def build_batch_aether(samples, model):
         t = frames.shape[0]
         pad = (-t) % ct
         gt = prepare_gt_label(data)
-        d = np.asarray(gt["gt_depths"], np.float32)
-        # invalid pixels (sentinel-0 depth etc.) must drive neither the
-        # clip normalization nor the regression target: normalize on the
-        # VALID range and fill holes with mid-range gray
-        m = np.asarray(gt["gt_masks"], bool)
-        valid = d[m]
-        lo = float(valid.min()) if valid.size else 0.0
-        hi = float(valid.max()) if valid.size else 1.0
-        x = np.where(m, (d - lo) / max(hi - lo, 1e-8), 0.5)
+        x = _normalized_depth_target(gt, direct_depth=True)
         x3 = np.repeat((x * 2.0 - 1.0)[..., None], 3, -1)
 
         def pad_clip(a):
@@ -279,8 +286,13 @@ def main():
             export_params=lambda s: jax.device_get(s.params),
             needs_rng=False,
         )
-    elif model_name in ("DepthCrafter", "UniGeoCam", "UniGeo", "StableNormal"):
+    elif model_name in ("DepthCrafter", "UniGeoCam", "UniGeo", "StableNormal",
+                        "ChronoDepth", "DepthAnyVideo"):
         from unigeo_tpu.parallel.trainer import DiffusionTrainer
+
+        # ChronoDepth/DepthAnyVideo share the SVD backbone but decode
+        # DIRECT depth ((x+1)/2) instead of DepthCrafter's inverse recipe
+        direct_depth = model_name in ("ChronoDepth", "DepthAnyVideo")
 
         if args.tiny:
             from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
@@ -303,7 +315,9 @@ def main():
             state = trainer.init_state(pipe.params["unet"])
         run_training_loop(
             mesh, state, trainer.train_step,
-            lambda samples: build_batch_diffusion(samples, pipe), dataset,
+            lambda samples: build_batch_diffusion(samples, pipe,
+                                                  direct_depth=direct_depth),
+            dataset,
             args, writer, saver,
             export_params=lambda s: jax.device_get(s.params),
         )
