@@ -2,9 +2,10 @@
 """Config-driven training CLI (the reference ships no trainer; SURVEY §2.2
 calls its robustmvd savers "vestigial" — training here is first-class).
 
-Three modes, selected by the model in the config:
-  * DepthCrafter/UniGeoCam — EDM diffusion fine-tuning of the UNet on
-    VAE-encoded clips (DiffusionTrainer).
+Four trainer families, selected by the model in the config:
+  * DepthCrafter/UniGeoCam/StableNormal/ChronoDepth/DepthAnyVideo — EDM
+    diffusion fine-tuning of the UNet on VAE-encoded clips
+    (DiffusionTrainer; direct- vs inverse-depth targets per model).
   * Spann3R/Cut3R/Dust3R — confidence-weighted pointmap regression
     (PointmapTrainer; Dust3RTrainer pair mode for the two-view net).
   * Aether — rectified-flow DiT training on [depth-latent | raymap]
@@ -248,12 +249,14 @@ def main():
     saver = TrainStateSaver(args.ckpt_dir)
 
     model_name = cfg.model_name
+    cfg_net = (cfg.model_params or {}).get("network_config") or {}
     if model_name in ("Spann3R", "Cut3R", "Dust3R"):
         trainer_cls = PointmapTrainer
         if model_name == "Cut3R":
             from unigeo_tpu.models.pointmap.cut3r import Cut3RNetwork, tiny_cut3r_config
 
-            net = Cut3RNetwork(**(tiny_cut3r_config() if args.tiny else {}))
+            net = Cut3RNetwork(
+                **(tiny_cut3r_config() if args.tiny else cfg_net))
         elif model_name == "Dust3R":
             from unigeo_tpu.models.pointmap.dust3r import (
                 Dust3RNetwork,
@@ -261,7 +264,8 @@ def main():
             )
             from unigeo_tpu.parallel.trainer import Dust3RTrainer
 
-            net = Dust3RNetwork(**(tiny_dust3r_config() if args.tiny else {}))
+            net = Dust3RNetwork(
+                **(tiny_dust3r_config() if args.tiny else cfg_net))
             trainer_cls = Dust3RTrainer
         else:
             from unigeo_tpu.models.pointmap.spann3r import (
@@ -269,7 +273,8 @@ def main():
                 tiny_spann3r_config,
             )
 
-            net = Spann3RNetwork(**(tiny_spann3r_config() if args.tiny else {}))
+            net = Spann3RNetwork(
+                **(tiny_spann3r_config() if args.tiny else cfg_net))
         sample = dataset[0]
         t, _, h, w = sample["images"].shape
         if model_name == "Dust3R":  # two-view (pair) signature
@@ -294,38 +299,48 @@ def main():
         # DIRECT depth ((x+1)/2) instead of DepthCrafter's inverse recipe
         direct_depth = model_name in ("ChronoDepth", "DepthAnyVideo")
 
+        sample = dataset[0]
+        t, _, h, w = sample["images"].shape
         if args.tiny:
             from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
 
-            sample = dataset[0]
-            t, _, h, w = sample["images"].shape
             pipe = tiny_pipeline(height=h, width=w, num_frames=t)
         else:
             from unigeo_tpu.models.depthcrafter.pipeline import (
                 DepthCrafterPipeline,
             )
 
-            sample = dataset[0]
-            t, _, h, w = sample["images"].shape
-            pipe = DepthCrafterPipeline()
+            # honor the config's architecture so the trained checkpoint
+            # loads back into the eval model built from the SAME config
+            mp = dict(cfg.model_params or {})
+            pipe = DepthCrafterPipeline(
+                unet_config=mp.get("unet_config"),
+                vae_config=mp.get("vae_config"),
+                clip_config=mp.get("clip_config"),
+            )
             pipe.init_params(jax.random.PRNGKey(0), h, w, t)
 
         with mesh:
             trainer = DiffusionTrainer(pipe.unet, mesh, learning_rate=args.lr)
             state = trainer.init_state(pipe.params["unet"])
+        # save the FULL pipeline layout the adapters load
+        # (pipe.params = {unet, vae, clip}; chronodepth.py:89 lineage)
         run_training_loop(
             mesh, state, trainer.train_step,
             lambda samples: build_batch_diffusion(samples, pipe,
                                                   direct_depth=direct_depth),
             dataset,
             args, writer, saver,
-            export_params=lambda s: jax.device_get(s.params),
+            export_params=lambda s: {
+                **jax.device_get(pipe.params),
+                "unet": jax.device_get(s.params),
+            },
         )
     elif model_name == "VideoDepthAnything":
         from unigeo_tpu.models.vda import VDANetwork, tiny_vda_config
         from unigeo_tpu.parallel.trainer import DisparityTrainer
 
-        net = VDANetwork(**(tiny_vda_config() if args.tiny else {}))
+        net = VDANetwork(**(tiny_vda_config() if args.tiny else cfg_net))
         sample = dataset[0]
         t, _, h, w = sample["images"].shape
         params = net.init(jax.random.PRNGKey(0), jnp.zeros((t, h, w, 3)))
@@ -370,7 +385,8 @@ def main():
         raise SystemExit(
             f"training driver supports pointmap models (Spann3R/Cut3R/"
             f"Dust3R), diffusion models (DepthCrafter/UniGeoCam/"
-            f"StableNormal), and the flow-matching Aether. "
+            f"StableNormal/ChronoDepth/DepthAnyVideo), the flow-matching "
+            f"Aether, and the feed-forward VideoDepthAnything. "
             f"Got model {model_name!r}."
         )
 

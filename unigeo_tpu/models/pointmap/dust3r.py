@@ -134,7 +134,12 @@ class Dust3RNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, img1, img2):
-        """img1/img2 [B, H, W, 3] in 0..1 → (pts1, pts2, conf1, conf2)."""
+        """img1/img2 [B, H, W, 3] in 0..1 → (pts1, pts2, conf1, conf2).
+
+        img1 may carry batch 1 against a larger img2 batch (one-ref
+        pairing): the reference view is encoded ONCE and its tokens are
+        broadcast across the pairs — the per-pair work is decoder-only.
+        """
         from unigeo_tpu.ops.rope import grid_positions
 
         imgs = jnp.concatenate([img1, img2], axis=0)  # siamese encoder
@@ -144,6 +149,8 @@ class Dust3RNetwork(nn.Module):
         )(normalize_images(imgs))
         b = img1.shape[0]
         e1, e2 = tokens[:b], tokens[b:]
+        if b == 1 and img2.shape[0] > 1:
+            e1 = jnp.broadcast_to(e1, (img2.shape[0],) + e1.shape[1:])
 
         freq = _rope_freq(self.pos_embed)
         pos = grid_positions(*grid)[None] if freq is not None else None
@@ -202,9 +209,9 @@ class Dust3R:
             self.params = self.network.init(jax.random.PRNGKey(seed), zero, zero)
 
         def _pairs(p, ref, others):
-            # all (frame0, frame_i) pairs in one program; pair batch = B
-            ref_b = jnp.broadcast_to(ref, others.shape)
-            return self.network.apply(p, ref_b, others)
+            # all (frame0, frame_i) pairs in one program; the reference
+            # frame encodes once (batch 1) and fans out inside the network
+            return self.network.apply(p, ref, others)
 
         self._forward = jax.jit(_pairs)
 

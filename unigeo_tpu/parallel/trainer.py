@@ -33,6 +33,18 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _shard_owned(params, mesh):
+    """Shard params into a tree the trainer OWNS.
+
+    jax.device_put returns the input array unchanged when the sharding
+    already matches, so shard_params can alias the caller's tree — and the
+    donated train step would then delete the caller's arrays (observed:
+    pipe.params['unet'] died after step 1, crashing the next batch encode).
+    An explicit copy decouples the two.
+    """
+    return jax.tree.map(lambda x: x.copy(), shard_params(params, mesh))
+
+
 class DiffusionTrainer:
     """Owns the optimizer and the jitted sharded train step."""
 
@@ -54,7 +66,7 @@ class DiffusionTrainer:
         self._step_fn = None
 
     def init_state(self, params) -> TrainState:
-        params = shard_params(params, self.mesh)
+        params = _shard_owned(params, self.mesh)
         opt_state = self.optimizer.init(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
@@ -148,7 +160,7 @@ class FlowMatchingTrainer:
         self._step_fn = None
 
     def init_state(self, params) -> TrainState:
-        params = shard_params(params, self.mesh)
+        params = _shard_owned(params, self.mesh)
         return TrainState(params, self.optimizer.init(params),
                           jnp.zeros((), jnp.int32))
 
@@ -218,7 +230,7 @@ class PointmapTrainer:
         self._step_fn = None
 
     def init_state(self, params) -> TrainState:
-        params = shard_params(params, self.mesh)
+        params = _shard_owned(params, self.mesh)
         return TrainState(params, self.optimizer.init(params), jnp.zeros((), jnp.int32))
 
     def _loss(self, params, batch):
@@ -289,34 +301,23 @@ class DisparityTrainer:
         self._step_fn = None
 
     def init_state(self, params) -> TrainState:
-        params = shard_params(params, self.mesh)
+        params = _shard_owned(params, self.mesh)
         return TrainState(params, self.optimizer.init(params),
                           jnp.zeros((), jnp.int32))
 
-    @staticmethod
-    def _align_scale_shift(pred, gt, m):
-        """Per-frame masked least-squares (s, b) with s·pred + b ≈ gt.
-        pred/gt [T, H, W], m [T, H, W] in {0,1}; closed form from masked
-        first/second moments (same minimizer as metrics/alignment lstsq)."""
-        n = jnp.maximum(m.sum(axis=(1, 2)), 1.0)
-        mp = (m * pred).sum(axis=(1, 2)) / n
-        mg = (m * gt).sum(axis=(1, 2)) / n
-        var = (m * (pred - mp[:, None, None]) ** 2).sum(axis=(1, 2)) / n
-        cov = (m * (pred - mp[:, None, None]) * (gt - mg[:, None, None])
-               ).sum(axis=(1, 2)) / n
-        s = cov / jnp.maximum(var, 1e-8)
-        b = mg - s * mp
-        return s[:, None, None], b[:, None, None]
-
     def _loss(self, params, batch):
+        from unigeo_tpu.metrics.alignment import lstsq_scale_shift
+
         frames = batch["frames"]  # [B, T, H, W, 3] in 0..1
         gt_disp = batch["gt_disp"]  # [B, T, H, W] (1/depth)
         valid = batch["mask"]  # [B, T, H, W]
 
         def per_clip(f, g, m):
             pred = self.network.apply(params, f)  # [T, H, W]
-            s, b = self._align_scale_shift(pred, g, m)
-            aligned = s * pred + b
+            # per-frame masked least-squares (s, b): the canonical
+            # differentiable solver from the metrics suite, vmapped over T
+            s, b = jax.vmap(lstsq_scale_shift)(pred, g, m)
+            aligned = s[:, None, None] * pred + b[:, None, None]
             n = jnp.maximum(m.sum(), 1.0)
             ssi = (m * jnp.abs(aligned - g)).sum() / n
             # temporal gradient matching on the aligned prediction
@@ -364,21 +365,32 @@ class Dust3RTrainer(PointmapTrainer):
     """
 
     def _loss(self, params, batch):
-        from unigeo_tpu.models.pointmap.losses import pointmap_regression_loss
+        from unigeo_tpu.models.pointmap.losses import (
+            normalize_by_avg_dis,
+            pointmap_regression_loss,
+        )
 
         frames = batch["frames"]  # [B, T, H, W, 3] in 0..1
         gt_pts = batch["gt_world_pts"]
         valid = batch["mask"]
 
         def per_clip(f, g, v):
-            ref = jnp.broadcast_to(f[:1], f[1:].shape)
-            pts1, pts2, conf1, conf2 = self.network.apply(params, ref, f[1:])
+            # the reference view encodes ONCE (batch 1); the network
+            # broadcasts its tokens across the T-1 pairs
+            pts1, pts2, conf1, conf2 = self.network.apply(
+                params, f[:1], f[1:])
             g_ref = jnp.broadcast_to(g[:1], g[1:].shape)
             v_ref = jnp.broadcast_to(v[:1], v[1:].shape)
-            l1 = pointmap_regression_loss(
-                pts1, g_ref, v_ref, conf1, self.conf_alpha)
-            l2 = pointmap_regression_loss(
-                pts2, g[1:], v[1:], conf2, self.conf_alpha)
-            return l1 + l2
+            # DUSt3R Regr3D: ONE normalization factor over BOTH views —
+            # per-view factors would leave the heads' relative scale
+            # unconstrained (a 10x-scaled pts2 would score the same loss)
+            pred = jnp.concatenate([pts1, pts2], axis=0)
+            gt = jnp.concatenate([g_ref, g[1:]], axis=0)
+            va = jnp.concatenate([v_ref, v[1:]], axis=0).astype(jnp.float32)
+            pred_n, _ = normalize_by_avg_dis(pred, va)
+            gt_n, _ = normalize_by_avg_dis(gt, va)
+            conf = jnp.concatenate([conf1, conf2], axis=0)
+            return pointmap_regression_loss(
+                pred_n, gt_n, va, conf, self.conf_alpha, normalize=False)
 
         return jnp.mean(jax.vmap(per_clip)(frames, gt_pts, valid))
