@@ -284,6 +284,111 @@ def build_hypersim(root, cache_dir=None):
     return HyperSimDataset(root=root, scene_list=[scene])
 
 
+def build_tumrgbd(root, cache_dir, clip_length=2, clip_overlap=0):
+    """TUM RGB-D raw layout: rgb/ + depth/ + rgb.txt/depth.txt/groundtruth.txt
+    with deliberately offset timestamps to exercise nearest association."""
+    from unigeo_tpu.data.loaders import TumRGBDDataset
+
+    scene = osp.join(root, "rgbd_dataset_freiburg1_desk")
+    os.makedirs(osp.join(scene, "rgb"), exist_ok=True)
+    os.makedirs(osp.join(scene, "depth"), exist_ok=True)
+    rgb_lines, dep_lines, gt_lines = [], [], []
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        ts = 1300000000.0 + i * 0.1
+        _save_rgb(osp.join(scene, "rgb", f"{ts:.6f}.png"), rgb)
+        _save_depth_png(osp.join(scene, "depth", f"{ts + 0.005:.6f}.png"),
+                        depth, 5000)
+        rgb_lines.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+        dep_lines.append(f"{ts + 0.005:.6f} depth/{ts + 0.005:.6f}.png")
+        c2w_cv = coords.convert_pose_gl_cv(coords.se3_inverse(w2c_gl))
+        q = np.asarray(matrix_to_quaternion(c2w_cv[:3, :3]))  # wxyz
+        t = c2w_cv[:3, 3]
+        gt_lines.append(
+            f"{ts + 0.008:.6f} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]}"
+        )
+    for name, lines in (
+        ("rgb.txt", rgb_lines), ("depth.txt", dep_lines),
+        ("groundtruth.txt", gt_lines),
+    ):
+        with open(osp.join(scene, name), "w") as f:
+            f.write("# fixture\n" + "\n".join(lines) + "\n")
+    return TumRGBDDataset(
+        root=root, scene_list=["rgbd_dataset_freiburg1_desk"],
+        clip_length=clip_length, clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+def _save_dpt(path, depth):
+    with open(path, "wb") as f:
+        np.asarray([202021.25], np.float32).tofile(f)
+        h, w = depth.shape
+        np.asarray([w, h], np.int32).tofile(f)
+        depth.astype(np.float32).tofile(f)
+
+
+def _save_sintel_cam(path, K33, w2c_cv):
+    with open(path, "wb") as f:
+        np.asarray([202021.25], np.float32).tofile(f)
+        np.asarray(K33, np.float64).tofile(f)
+        np.asarray(w2c_cv[:3], np.float64).tofile(f)
+
+
+def build_sintel(root, cache_dir, clip_length=4, clip_overlap=0):
+    """MPI-Sintel layout: training/{final,depth,camdata_left}/<scene>/."""
+    from unigeo_tpu.data.loaders import SintelDataset
+
+    scene = "alley_1"
+    img_dir = osp.join(root, "training", "final", scene)
+    dep_dir = osp.join(root, "training", "depth", scene)
+    cam_dir = osp.join(root, "training", "camdata_left", scene)
+    for d in (img_dir, dep_dir, cam_dir):
+        os.makedirs(d, exist_ok=True)
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        stem = f"frame_{i + 1:04d}"  # Sintel frames start at 0001
+        _save_rgb(osp.join(img_dir, f"{stem}.png"), rgb)
+        _save_dpt(osp.join(dep_dir, f"{stem}.dpt"), depth)
+        c2w_cv = coords.convert_pose_gl_cv(coords.se3_inverse(w2c_gl))
+        _save_sintel_cam(
+            osp.join(cam_dir, f"{stem}.cam"), K, coords.se3_inverse(c2w_cv)
+        )
+    return SintelDataset(
+        root=root, scene_list=[scene], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+def build_interiornet(root, cache_dir, clip_length=4, clip_overlap=0):
+    """InteriorNet HD layout: cam0/data + depth0/data (euclidean mm ray
+    lengths) + cam0.render eye/lookat/up ground truth."""
+    from unigeo_tpu.data.loaders import InteriorNetDataset
+
+    scene = osp.join(root, "3FO4IDEI1LAV_Dining_room")
+    os.makedirs(osp.join(scene, "cam0", "data"), exist_ok=True)
+    os.makedirs(osp.join(scene, "depth0", "data"), exist_ok=True)
+    # euclidean ray-length grid, same pixel convention as ops/backproject
+    xs = (np.arange(W, dtype=np.float64) - K[0, 2]) / K[0, 0]
+    ys = (np.arange(H, dtype=np.float64) - K[1, 2]) / K[1, 1]
+    norm = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + 1.0)
+    lines = ["# interiornet fixture"]
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        ts = 1000000 * (i + 1)
+        _save_rgb(osp.join(scene, "cam0", "data", f"{ts}.png"), rgb)
+        _save_depth_png(
+            osp.join(scene, "depth0", "data", f"{ts}.png"), depth * norm, 1000
+        )
+        c2w_gl = coords.se3_inverse(w2c_gl)
+        eye = c2w_gl[:3, 3]
+        lookat = eye - c2w_gl[:3, 2]  # OpenGL forward = -z column
+        up = c2w_gl[:3, 1]
+        lines.append(" ".join(str(float(x)) for x in [ts, *eye, *lookat, *up]))
+    with open(osp.join(scene, "cam0.render"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return InteriorNetDataset(
+        root=root, intrinsics=K, scene_list=["3FO4IDEI1LAV_Dining_room"],
+        clip_length=clip_length, clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
 # name → builder, the registry both test modules parametrize over
 BUILDERS = {
     "SevenScenesDataset": build_seven_scenes,
@@ -293,4 +398,7 @@ BUILDERS = {
     "ScannetPPDataset": build_scannetpp,
     "NeuralRGBDDataset": build_neuralrgbd,
     "HyperSimDataset": build_hypersim,
+    "TumRGBDDataset": build_tumrgbd,
+    "SintelDataset": build_sintel,
+    "InteriorNetDataset": build_interiornet,
 }

@@ -122,3 +122,65 @@ def test_neuralrgbd_nan_pose_filtering(tmp_path):
     # frame 3 gone: the clip pads by repeating the last valid frame
     assert not np.allclose(clean["extrinsics"][1], np.eye(4), atol=1e-6)
     assert np.allclose(poisoned["extrinsics"][1], poisoned["extrinsics"][0])
+
+
+# --- checklist datasets the reference declares but never shipped loaders for
+#     (dataset/Readme.md:3,10,12) -----------------------------------------
+
+def test_tumrgbd_format(tmp_path):
+    from fixtures_loaders import build_tumrgbd
+
+    ds = build_tumrgbd(str(tmp_path / "tum"), str(tmp_path / "cache"))
+    data = ds[0]
+    validate_sample(data)
+    # frame_gap=3: fixture frames 0 and 3 survive; timestamp association
+    # must pair each rgb with its +5 ms depth and +8 ms groundtruth pose
+    fr = frames()
+    expect = coords.rebase_to_keyview(np.stack([fr[0][0], fr[3][0]]), 0)
+    assert np.allclose(data["extrinsics"], expect, atol=1e-3)
+    assert data["images"].shape == (2, 3, H, W)
+
+
+def test_sintel_format(tmp_path):
+    from fixtures_loaders import build_sintel
+    from unigeo_tpu.data.synthetic import render_box_frame
+
+    ds = build_sintel(str(tmp_path / "sintel"), str(tmp_path / "cache"))
+    data = _check(ds, expect_len=1)
+    # per-frame .cam intrinsics + extrinsics roundtrip
+    expect = coords.rebase_to_keyview(np.stack([f[0] for f in frames()]), 0)
+    assert np.allclose(data["extrinsics"], expect, atol=1e-3)
+    assert np.allclose(data["intrinsics"][0], K, atol=1e-4)
+    # .dpt is float32-lossless: planar depth must match the render exactly
+    _, d0, _ = render_box_frame(frames()[0][0], K, H, W)
+    depth_rt = -data["cam_coord"][0, 2]
+    assert np.allclose(depth_rt, d0, atol=1e-5)
+
+
+def test_interiornet_format(tmp_path):
+    from fixtures_loaders import build_interiornet
+    from unigeo_tpu.data.synthetic import render_box_frame
+
+    ds = build_interiornet(str(tmp_path / "interiornet"), str(tmp_path / "cache"))
+    data = _check(ds, expect_len=1)
+    # look-at ground truth roundtrips through the GL pose builder
+    expect = coords.rebase_to_keyview(np.stack([f[0] for f in frames()]), 0)
+    assert np.allclose(data["extrinsics"], expect, atol=1e-3)
+    # euclidean mm ray lengths → planar z within uint16 quantization
+    _, d0, _ = render_box_frame(frames()[0][0], K, H, W)
+    depth_rt = -data["cam_coord"][0, 2]
+    assert np.allclose(depth_rt, d0, atol=2e-3)
+
+
+def test_disk_loader_config_roundtrip(tmp_path):
+    """save_config must store the REGISTRY name (camelCase for disk
+    loaders), or from_config cannot resolve it (regression)."""
+    from fixtures_loaders import build_sintel
+    from unigeo_tpu.data.base import ClipDataset
+
+    ds = build_sintel(str(tmp_path / "sintel"), str(tmp_path / "cache"))
+    cfg_path = str(tmp_path / "ds.json")
+    ds.save_config(cfg_path)
+    ds2 = ClipDataset.from_config(cfg_path)
+    assert type(ds2) is type(ds)
+    assert ds2.pass_name == "final" and len(ds2) == len(ds)

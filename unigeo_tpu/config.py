@@ -53,6 +53,9 @@ def parse_dataset_config(config: Dict[str, Any]) -> Dict[str, Any]:
     }
     if "split" in config:
         out["split"] = config["split"]
+    # extension over the reference schema: loader-specific kwargs (e.g.
+    # sintel pass_name, interiornet intrinsics) pass through verbatim
+    out.update(config.get("dataset_params") or {})
     return out
 
 

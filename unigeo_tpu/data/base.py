@@ -220,8 +220,13 @@ class ClipDataset:
         data setup can be reloaded later (reference pickles the dataset
         config, dataset.py:217-255 — JSON here, same rationale as the
         sample-list cache)."""
+        from unigeo_tpu.registry import DATASETS
+
         cfg = {
-            "dataset_cls": type(self).__name__,
+            # the REGISTRY key, not __name__: disk loaders register under
+            # the reference's camelCase config names (e.g.
+            # ``sevenScenesDataset``) which from_config resolves
+            "dataset_cls": DATASETS.name_of(type(self)) or type(self).__name__,
             "root": self.root,
             "split": self.split,
             "clip_length": self.clip_length,
@@ -291,24 +296,61 @@ class ClipDataset:
     # clip assembly
     # ------------------------------------------------------------------
 
+    def _native_clip(self, kind: str, paths: List[str]):
+        """Decode a whole clip in one native (C++ thread-pool) call.
+
+        Returns None — caller falls back to the per-frame Python reader —
+        when (a) the native library is unavailable/disabled, (b) the
+        subclass overrides the stock per-frame reader (custom on-disk
+        format, e.g. Sintel .dpt or NeuralRGBD nan handling), or (c) the
+        native decoder rejects the files (unsupported encoding, mixed
+        dims).  Behavior is bit-identical either way
+        (tests/test_native_io.py)."""
+        override = {
+            "rgb": type(self).load_image is not ClipDataset.load_image,
+            "depth": type(self).load_depth is not ClipDataset.load_depth,
+            "normal": type(self).load_normal is not ClipDataset.load_normal,
+        }[kind]
+        if override:
+            return None
+        from unigeo_tpu import native
+
+        if not native.available():
+            return None
+        try:
+            if kind == "rgb":
+                return native.decode_clip_rgb(paths)
+            if kind == "depth":
+                return native.decode_clip_depth(paths, self.depth_scale)
+            return native.decode_clip_normal(paths)
+        except native.NativeIOError:
+            return None
+
     def __getitem__(self, index: int) -> Dict:
         rec = self.samples[index]
         scene = self._scene(rec["scene"])
         ids = rec["frame_ids"]
 
-        images = np.stack([self.load_image(self._abs(scene.rgb_paths[i])) for i in ids])
+        rgb_paths = [self._abs(scene.rgb_paths[i]) for i in ids]
+        images = self._native_clip("rgb", rgb_paths)
+        if images is None:
+            images = np.stack([self.load_image(p) for p in rgb_paths])
         intrinsics = scene.intrinsics[ids].copy()
         extrinsics = scene.extrinsics[ids].copy()
 
-        depths = [self.load_depth(self._abs(scene.depth_paths[i])) for i in ids]
+        depth_paths = [self._abs(scene.depth_paths[i]) for i in ids]
+        depths = self._native_clip("depth", depth_paths)
+        if depths is None:
+            depths = [self.load_depth(p) for p in depth_paths]
         cam_coord = np.stack(
             [self._depth_to_gl_points(d, intrinsics[k]) for k, d in enumerate(depths)]
         )  # [Nf,3,H,W] OpenGL camera points
 
         if self.native_normals and scene.normal_paths is not None:
-            cam_normal = np.stack(
-                [self.load_normal(self._abs(scene.normal_paths[i])) for i in ids]
-            )
+            normal_paths = [self._abs(scene.normal_paths[i]) for i in ids]
+            cam_normal = self._native_clip("normal", normal_paths)
+            if cam_normal is None:
+                cam_normal = np.stack([self.load_normal(p) for p in normal_paths])
         elif self.compute_normals_if_missing:
             from unigeo_tpu.ops.normals import surface_normals_from_points
 

@@ -24,7 +24,13 @@ import numpy as np
 
 from unigeo_tpu import coords
 from unigeo_tpu.data.base import ClipDataset, SceneIndex
-from unigeo_tpu.data.trajectories import read_matrix_trajectory, read_tum_trajectory
+from unigeo_tpu.data.trajectories import (
+    associate_timestamps,
+    read_dpt,
+    read_matrix_trajectory,
+    read_sintel_cam,
+    read_tum_trajectory,
+)
 from unigeo_tpu.registry import DATASETS
 
 
@@ -294,3 +300,236 @@ class ScannetV2Dataset(_DiskClipDataset):
         reld = [osp.relpath(p, self.root) for p in depth]
         K = np.repeat(intr[None], len(rel), axis=0)
         return SceneIndex(scene_name, rel, reld, w2c_gl, K)
+
+
+@DATASETS.register("tumRGBDDataset")
+class TumRGBDDataset(_DiskClipDataset):
+    """TUM RGB-D (freiburg1/2/3 sequences, raw download layout).
+
+    The reference declares tumRGBD support (dataset/Readme.md:12) but ships
+    no loader; this implements the dataset's published layout: per-scene
+    ``rgb.txt`` / ``depth.txt`` / ``groundtruth.txt`` timestamp lists with
+    nearest-timestamp association (TUM associate.py semantics, max 0.02 s),
+    per-freiburg fixed intrinsics from the dataset page, depth /5000 like
+    Bonn (dataset/bonn/bonn.py:128 — Bonn uses the TUM container).  Poses
+    are OpenCV c2w TUM rows → conjugated to OpenGL and inverted, exactly the
+    Bonn convention (dataset/bonn/bonn.py:64-66).  Frame gap 3 downsamples
+    the 30 Hz stream to ~10 Hz, the gap-3 convention of the other dense
+    video sets (scannetpp.py:25, replica.py:24, neuralRGBD.py:24).
+    """
+
+    base_dataset = "tumrgbd"
+    frame_gap = 3
+    depth_scale = 5000.0
+    depth_clamp = (1e-3, 20.0)
+    # fx, fy, cx, cy per camera (TUM RGB-D dataset intrinsics page)
+    _K_BY_CAM = {
+        "freiburg1": (517.3, 516.5, 318.6, 255.3),
+        "freiburg2": (520.9, 521.0, 325.1, 249.7),
+        "freiburg3": (535.4, 539.2, 320.1, 247.6),
+    }
+    _K_DEFAULT = (525.0, 525.0, 319.5, 239.5)  # ROS default K
+
+    @classmethod
+    def _intrinsics_for(cls, scene_name: str) -> np.ndarray:
+        fx, fy, cx, cy = cls._K_DEFAULT
+        for cam, k in cls._K_BY_CAM.items():
+            if cam in scene_name:
+                fx, fy, cx, cy = k
+                break
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+
+    @staticmethod
+    def _read_file_list(path):
+        """``timestamp filename`` rows, '#' comments."""
+        stamps, files = [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                ts, rel = line.split()[:2]
+                stamps.append(float(ts))
+                files.append(rel)
+        return np.asarray(stamps), files
+
+    def load_scene_index(self, scene_name: str) -> SceneIndex:
+        scene_dir = osp.join(self.root, scene_name)
+        rgb_ts, rgb_files = self._read_file_list(osp.join(scene_dir, "rgb.txt"))
+        dep_ts, dep_files = self._read_file_list(osp.join(scene_dir, "depth.txt"))
+        poses_c2w, pose_ts = read_tum_trajectory(
+            osp.join(scene_dir, "groundtruth.txt")
+        )
+        # rgb → depth association, then rgb → pose (associate.py defaults)
+        ri, di = associate_timestamps(rgb_ts, dep_ts, max_diff=0.02)
+        ri2, pi = associate_timestamps(rgb_ts[ri], pose_ts, max_diff=0.02)
+        ri = ri[ri2]
+        di = di[ri2]
+        rel = [osp.join(scene_name, rgb_files[i]) for i in ri]
+        reld = [osp.join(scene_name, dep_files[i]) for i in di]
+        w2c_gl = coords.se3_inverse(coords.convert_pose_gl_cv(poses_c2w[pi]))
+        K = np.repeat(self._intrinsics_for(scene_name)[None], len(rel), axis=0)
+        return SceneIndex(scene_name, rel, reld, w2c_gl, K)
+
+
+@DATASETS.register("sintelDataset")
+class SintelDataset(_DiskClipDataset):
+    """MPI-Sintel depth-training split (clean/final pass).
+
+    The reference declares sintel support (dataset/Readme.md:10) and parses
+    Sintel .cam trajectories in its evo wrappers (metrics/evo_utils.py:
+    18-148) but ships no loader.  Published layout: ``training/<pass>/
+    <scene>/frame_%04d.png`` RGB, ``training/depth/<scene>/frame_%04d.dpt``
+    float32 z-depth in meters, ``training/camdata_left/<scene>/
+    frame_%04d.cam`` with per-frame K [3,3] + OpenCV w2c extrinsic [3,4].
+    Depth clamp 80 m (outdoor far-field, same bound as the reference's
+    depth-metric gt mask, eval_depth.py:8); the sky's sentinel depths
+    (~1e8) fall out via the clamp mask.
+    """
+
+    base_dataset = "sintel"
+    frame_gap = 1
+    depth_scale = 1.0
+    depth_clamp = (1e-3, 80.0)
+
+    def __init__(self, root, pass_name: str = "final", **kwargs):
+        self.pass_name = pass_name
+        super().__init__(root=root, **kwargs)
+
+    def config_extras(self):
+        return {"pass_name": self.pass_name}
+
+    def list_scenes(self, split: str):
+        if self._scene_list is not None:
+            return list(self._scene_list)
+        split_file = osp.join(self.root, "splits", f"{split}.txt")
+        if osp.isfile(split_file):
+            with open(split_file) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        img_root = osp.join(self.root, "training", self.pass_name)
+        return sorted(
+            d for d in os.listdir(img_root) if osp.isdir(osp.join(img_root, d))
+        )
+
+    def load_scene_index(self, scene_name: str) -> SceneIndex:
+        img_dir = osp.join(self.root, "training", self.pass_name, scene_name)
+        cam_dir = osp.join(self.root, "training", "camdata_left", scene_name)
+        dep_dir = osp.join(self.root, "training", "depth", scene_name)
+        rgb = _numeric_sort(glob(osp.join(img_dir, "frame_*.png")), r"frame_(\d+)")
+        poses, intrinsics = [], []
+        for p in rgb:
+            stem = osp.splitext(osp.basename(p))[0]
+            Kf, E = read_sintel_cam(osp.join(cam_dir, f"{stem}.cam"))
+            w2c_cv = np.eye(4, dtype=np.float32)
+            w2c_cv[:3] = E
+            c2w_cv = coords.se3_inverse(w2c_cv)
+            poses.append(coords.se3_inverse(coords.convert_pose_gl_cv(c2w_cv)))
+            intrinsics.append(Kf)
+        depth = [
+            osp.join(dep_dir, osp.splitext(osp.basename(p))[0] + ".dpt")
+            for p in rgb
+        ]
+        rel = [osp.relpath(p, self.root) for p in rgb]
+        reld = [osp.relpath(p, self.root) for p in depth]
+        return SceneIndex(
+            scene_name, rel, reld, np.stack(poses), np.stack(intrinsics)
+        )
+
+    def load_depth(self, path: str) -> np.ndarray:
+        return read_dpt(path)
+
+
+@DATASETS.register("interiorNetDataset")
+class InteriorNetDataset(_DiskClipDataset):
+    """InteriorNet (HD RGB-D sequences).
+
+    The reference declares interiornet support (dataset/Readme.md:3) but
+    ships no loader.  Published layout per scene: ``cam0/data/<t>.png``
+    640×480 RGB, ``depth0/data/<t>.png`` uint16 depth in mm stored as the
+    EUCLIDEAN ray length from the camera center (InteriorNet dataset
+    convention), and a ``cam0.render`` ground-truth file of
+    ``timestamp eye(3) lookat(3) up(3)`` rows ('#' comments).  Fixed
+    pinhole K fx=fy=600 cx=320 cy=240 (dataset release).  Ray lengths are
+    converted to planar z-depth with the fixed K before backprojection;
+    poses are built directly in the OpenGL convention via look-at
+    (right/up/-forward columns), so no CV conjugation is involved.
+    """
+
+    base_dataset = "interiornet"
+    frame_gap = 1
+    depth_scale = 1000.0
+    depth_clamp = (1e-3, 20.0)
+    euclidean_depth = True
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]], np.float32)
+
+    def __init__(self, root, intrinsics=None, **kwargs):
+        # custom-calibration renders (and small test fixtures) may override
+        # the release K; the euclidean→planar depth conversion uses it too
+        if intrinsics is not None:
+            self.K = np.asarray(intrinsics, np.float32).reshape(3, 3)
+        super().__init__(root=root, **kwargs)
+
+    def config_extras(self):
+        return {"intrinsics": self.K.tolist()}
+
+    @staticmethod
+    def _lookat_to_c2w_gl(eye, lookat, up) -> np.ndarray:
+        f = lookat - eye
+        f = f / np.linalg.norm(f)
+        s = np.cross(f, up)
+        s = s / np.linalg.norm(s)
+        u = np.cross(s, f)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0] = s
+        c2w[:3, 1] = u
+        c2w[:3, 2] = -f  # OpenGL: camera looks down -z
+        c2w[:3, 3] = eye
+        return c2w
+
+    def load_scene_index(self, scene_name: str) -> SceneIndex:
+        scene_dir = osp.join(self.root, scene_name)
+        stamps, poses = [], []
+        with open(osp.join(scene_dir, "cam0.render")) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                vals = [float(x) for x in line.split()]
+                if len(vals) < 10:
+                    continue
+                stamps.append(vals[0])
+                poses.append(
+                    self._lookat_to_c2w_gl(
+                        np.asarray(vals[1:4]), np.asarray(vals[4:7]),
+                        np.asarray(vals[7:10]),
+                    )
+                )
+        stamps = np.asarray(stamps)
+        rgb = sorted(glob(osp.join(scene_dir, "cam0", "data", "*.png")))
+        img_ts = np.asarray([float(osp.splitext(osp.basename(p))[0]) for p in rgb])
+        ii, pi = associate_timestamps(img_ts, stamps, max_diff=np.inf)
+        rgb = [rgb[i] for i in ii]
+        depth = [
+            osp.join(scene_dir, "depth0", "data", osp.basename(p)) for p in rgb
+        ]
+        w2c_gl = coords.se3_inverse(np.stack([poses[i] for i in pi]))
+        rel = [osp.relpath(p, self.root) for p in rgb]
+        reld = [osp.relpath(p, self.root) for p in depth]
+        K = np.repeat(self.K[None], len(rel), axis=0)
+        return SceneIndex(scene_name, rel, reld, w2c_gl, K)
+
+    def load_depth(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        d = np.asarray(Image.open(path), dtype=np.float32) / self.depth_scale
+        if not self.euclidean_depth:
+            return d
+        # euclidean ray length → planar z: z = d / |(x̂, ŷ, 1)|; same pixel
+        # grid convention as ops/backproject.py (u - cx, no half-pixel)
+        h, w = d.shape
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        xs = (np.arange(w, dtype=np.float32) - cx) / fx
+        ys = (np.arange(h, dtype=np.float32) - cy) / fy
+        norm = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + 1.0)
+        return d / norm

@@ -91,6 +91,50 @@ def read_sintel_trajectory(cam_dir: str) -> Tuple[np.ndarray, np.ndarray]:
     return np.stack(poses), np.stack(intrinsics)
 
 
+def associate_timestamps(
+    query: np.ndarray, ref: np.ndarray, max_diff: float = 0.02
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Nearest-timestamp association (TUM ``associate.py`` semantics).
+
+    For each timestamp in ``query`` find the nearest timestamp in ``ref``;
+    keep pairs within ``max_diff`` seconds.  Returns (query_idx, ref_idx)
+    integer index arrays.  Vectorized via searchsorted instead of the TUM
+    tool's O(N*M) candidate sort; same nearest-neighbor result.
+    """
+    query = np.asarray(query, np.float64)
+    ref = np.asarray(ref, np.float64)
+    order = np.argsort(ref)
+    ref_sorted = ref[order]
+    pos = np.searchsorted(ref_sorted, query)
+    pos = np.clip(pos, 1, len(ref_sorted) - 1) if len(ref_sorted) > 1 else (
+        np.zeros_like(pos)
+    )
+    left = ref_sorted[np.maximum(pos - 1, 0)]
+    right = ref_sorted[np.minimum(pos, len(ref_sorted) - 1)]
+    take_right = np.abs(right - query) < np.abs(left - query)
+    nearest = np.where(take_right, np.minimum(pos, len(ref_sorted) - 1),
+                       np.maximum(pos - 1, 0))
+    ok = np.abs(ref_sorted[nearest] - query) <= max_diff
+    return np.nonzero(ok)[0], order[nearest[ok]]
+
+
+def read_dpt(path: str) -> np.ndarray:
+    """MPI-Sintel ``.dpt`` depth file → [H, W] float32 meters.
+
+    Same container as Middlebury ``.flo``: float32 tag 202021.25, int32
+    width, int32 height, then H*W float32 depth values row-major (the
+    Sintel depth-training SDK's ``depth_read``).
+    """
+    TAG = 202021.25
+    with open(path, "rb") as f:
+        tag = np.frombuffer(f.read(4), np.float32)[0]
+        assert abs(tag - TAG) < 1e-3, f"bad .dpt tag {tag} in {path}"
+        w = int(np.frombuffer(f.read(4), np.int32)[0])
+        h = int(np.frombuffer(f.read(4), np.int32)[0])
+        data = np.frombuffer(f.read(4 * w * h), np.float32)
+    return data.reshape(h, w).copy()
+
+
 def read_matrix_trajectory(path: str, rows_per_matrix: int = 1) -> np.ndarray:
     """Trajectory stored as flattened 4x4 row-major matrices.
 

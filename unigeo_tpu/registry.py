@@ -39,6 +39,15 @@ class Registry:
     def names(self):
         return sorted(self._entries)
 
+    def name_of(self, cls: type):
+        """Registered key for a class (None if unregistered) — the inverse
+        lookup save_config needs, since registry names may differ from
+        ``cls.__name__`` (e.g. ``sevenScenesDataset``)."""
+        for key, val in self._entries.items():
+            if val is cls:
+                return key
+        return None
+
     def __contains__(self, name: str) -> bool:
         return name in self._entries
 
