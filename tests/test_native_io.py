@@ -127,3 +127,82 @@ def test_override_fallback(tmp_path):
     ds2 = build_interiornet(str(tmp_path / "inet"), str(tmp_path / "cache2"))
     scene2 = ds2._scene("3FO4IDEI1LAV_Dining_room")
     assert ds2._native_clip("depth", [ds2._abs(scene2.depth_paths[0])]) is None
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+def _write_adam7_gray16_png(path, img):
+    """Minimal Adam7-interlaced 16-bit grayscale PNG writer (filter 0).
+    Pillow cannot write interlaced PNGs, so the regression crafts one by
+    hand: 7 passes, each scanline prefixed with filter byte 0, samples
+    big-endian, zlib-compressed into one IDAT."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+    passes = [  # (x0, y0, dx, dy) per Adam7 pass
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter type 0
+            raw += row.astype(">u2").tobytes()
+
+    def chunk(tag, payload):
+        data = tag + payload
+        return (
+            struct.pack(">I", len(payload)) + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)  # interlace=1
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(bytes(raw))))
+        f.write(chunk(b"IEND", b""))
+
+
+def test_interlaced_depth_png(tmp_path):
+    """Adam7-interlaced depth PNGs must decode correctly (regression: a
+    single-pass png_read_row loop returned pass-1 garbage with rc=0)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 60000, (21, 13), np.uint16)  # odd dims hit all passes
+    p = str(tmp_path / "ilace.png")
+    _write_adam7_gray16_png(p, img)
+    ref = np.asarray(Image.open(p))  # PIL handles interlace
+    np.testing.assert_array_equal(ref, img)  # writer sanity
+    out = native.decode_clip_depth([p], 1000.0)
+    np.testing.assert_array_equal(out[0], img.astype(np.float32) / 1000.0)
+
+
+def test_image_info_is_header_only(media, tmp_path):
+    """info must succeed from the header even when the file body is
+    truncated (proves no full decode / full read is needed)."""
+    for key, kind in (("png", 0), ("jpg", 1), ("webp", 2), ("depth", 3)):
+        with open(media[key], "rb") as f:
+            head = f.read()
+        # keep enough for headers (jpeg SOF sits past the huffman tables in
+        # tiny files, so keep half) but strip the tail
+        p = str(tmp_path / f"trunc_{key}")
+        with open(p, "wb") as f:
+            f.write(head[: max(len(head) // 2, 256)])
+        h, w, k = native.image_info(p)
+        assert (h, w) == (40, 56), key
+        assert k == kind, key
+
+
+def test_associate_empty_ref():
+    from unigeo_tpu.data.trajectories import associate_timestamps
+
+    qi, ri = associate_timestamps(np.array([1.0, 2.0]), np.array([]))
+    assert len(qi) == 0 and len(ri) == 0
+    qi, ri = associate_timestamps(np.array([]), np.array([1.0]))
+    assert len(qi) == 0 and len(ri) == 0

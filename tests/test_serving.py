@@ -158,3 +158,92 @@ def test_http_bad_request(http_server):
     # server still healthy afterwards
     with urllib.request.urlopen(_url(http_server, "/healthz"), timeout=10) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+def test_per_clip_error_isolation(clip):
+    """In the per-forward fallback path a bad co-batched request must not
+    poison valid ones (regression: one try wrapped the whole batch)."""
+
+    class NoBatch(IdentityModel):
+        forward_batch = None  # force the per-clip path
+
+        def forward(self, data):
+            import time
+
+            time.sleep(0.05)
+            if "poison" in data:
+                raise ValueError("bad payload")
+            return super().forward(data)
+
+    srv = InferenceServer(NoBatch(), max_batch=4, batch_window_ms=80.0)
+    try:
+        results = {}
+        def hit(i, payload):
+            try:
+                results[i] = srv.predict(payload)
+            except RuntimeError as exc:
+                results[i] = exc
+        bad = dict(clip); bad["poison"] = np.zeros(1)
+        payloads = [dict(clip), bad, dict(clip)]
+        threads = [
+            threading.Thread(target=hit, args=(i, p))
+            for i, p in enumerate(payloads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert isinstance(results[1], RuntimeError)
+        assert "pred_depths" in results[0] and "pred_depths" in results[2]
+    finally:
+        srv.close()
+
+
+def test_close_fails_queued_requests(clip):
+    """close() must fail queued requests immediately, not strand them."""
+    import time
+
+    class Slow(IdentityModel):
+        def forward(self, data):
+            time.sleep(0.5)
+            return super().forward(data)
+
+    srv = InferenceServer(Slow(), max_batch=1)
+    errs = []
+    def hit():
+        try:
+            srv.predict(dict(clip), timeout=30.0)
+        except (RuntimeError, TimeoutError) as exc:
+            errs.append(exc)
+    threads = [threading.Thread(target=hit) for _ in range(3)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    time.sleep(0.1)
+    srv.close()
+    for t in threads:
+        t.join(timeout=10)
+    assert time.time() - t0 < 8.0  # nobody waited out a long timeout
+    with pytest.raises(RuntimeError):
+        srv.predict(dict(clip))  # post-close requests rejected immediately
+
+
+def test_encode_arrays_keeps_device_arrays(clip):
+    """jax.Array predictions must not be silently dropped from responses."""
+    import jax.numpy as jnp
+
+    payload = encode_arrays({
+        "pred_depths": jnp.ones((2, 4, 4)),
+        "pred_scale": 2.5,
+        "scene_name": "scene_01",   # unicode arrays round-trip pickle-free
+        "skip_me": {"not": "encodable"},  # object dtype → dropped
+    })
+    back = decode_arrays(payload)
+    assert "pred_depths" in back and back["pred_depths"].shape == (2, 4, 4)
+    assert back["pred_scale"] == 2.5
+    assert back["scene_name"] == "scene_01"
+    assert "skip_me" not in back

@@ -48,11 +48,17 @@ class _DiskClipDataset(ClipDataset):
         if osp.isfile(split_file):
             with open(split_file) as f:
                 return [ln.strip() for ln in f if ln.strip()]
-        # fallback: all scene directories under root
+        # fallback: all scene directories under the dataset's scan dir
+        scan = self._scene_scan_dir()
         return sorted(
-            d for d in os.listdir(self.root)
-            if osp.isdir(osp.join(self.root, d)) and d != "splits"
+            d for d in os.listdir(scan)
+            if osp.isdir(osp.join(scan, d)) and d != "splits"
         )
+
+    def _scene_scan_dir(self) -> str:
+        """Directory whose subdirectories are scene names (hook for layouts
+        where scenes do not live directly under root, e.g. Sintel)."""
+        return self.root
 
     @staticmethod
     def _filter_valid_poses(poses, *lists):
@@ -399,17 +405,8 @@ class SintelDataset(_DiskClipDataset):
     def config_extras(self):
         return {"pass_name": self.pass_name}
 
-    def list_scenes(self, split: str):
-        if self._scene_list is not None:
-            return list(self._scene_list)
-        split_file = osp.join(self.root, "splits", f"{split}.txt")
-        if osp.isfile(split_file):
-            with open(split_file) as f:
-                return [ln.strip() for ln in f if ln.strip()]
-        img_root = osp.join(self.root, "training", self.pass_name)
-        return sorted(
-            d for d in os.listdir(img_root) if osp.isdir(osp.join(img_root, d))
-        )
+    def _scene_scan_dir(self) -> str:
+        return osp.join(self.root, "training", self.pass_name)
 
     def load_scene_index(self, scene_name: str) -> SceneIndex:
         img_dir = osp.join(self.root, "training", self.pass_name, scene_name)

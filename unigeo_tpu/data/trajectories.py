@@ -103,6 +103,9 @@ def associate_timestamps(
     """
     query = np.asarray(query, np.float64)
     ref = np.asarray(ref, np.float64)
+    if len(ref) == 0 or len(query) == 0:  # e.g. comments-only pose file
+        empty = np.zeros(0, np.int64)
+        return empty, empty
     order = np.argsort(ref)
     ref_sorted = ref[order]
     pos = np.searchsorted(ref_sorted, query)

@@ -58,19 +58,23 @@ def _build() -> bool:
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
         "-lpng", "-ljpeg", "-lwebp", "-lpthread",
     ]
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
-    os.close(fd)
+    tmp = None
     try:
+        # inside the try: a read-only package dir (root-owned install,
+        # read-only container FS) must degrade to the PIL path, not raise
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+        os.close(fd)
         subprocess.run(
             cmd + ["-o", tmp], check=True, capture_output=True, timeout=120
         )
         os.rename(tmp, _LIB)  # atomic: concurrent builders race harmlessly
         return True
     except (subprocess.SubprocessError, FileNotFoundError, OSError):
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return False
 
 

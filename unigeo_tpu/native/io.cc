@@ -214,18 +214,24 @@ int decode_png_gray_raw(const Blob& blob, uint16_t* out, int h, int w,
     return UG_ERR_DEPTHFMT;
   }
   if (bit_depth == 16) png_set_swap(png);  // PNG is big-endian; x86 is not
-  png_set_interlace_handling(png);
   png_read_update_info(png, info);
 
-  std::vector<uint8_t> rowbuf(png_get_rowbytes(png, info));
+  // png_read_image handles Adam7 interlacing internally (a manual
+  // png_read_row loop over h rows would silently return pass-1 garbage
+  // for interlaced files)
+  const size_t rowbytes = png_get_rowbytes(png, info);
+  std::vector<uint8_t> pixels(rowbytes * static_cast<size_t>(h));
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y) rows[y] = pixels.data() + rowbytes * y;
+  png_read_image(png, rows.data());
   for (int y = 0; y < h; ++y) {
-    png_read_row(png, rowbuf.data(), nullptr);
+    const uint8_t* src = rows[y];
     if (bit_depth == 16) {
-      memcpy(out + static_cast<size_t>(y) * w, rowbuf.data(),
+      memcpy(out + static_cast<size_t>(y) * w, src,
              static_cast<size_t>(w) * 2);
     } else {
       for (int x = 0; x < w; ++x)
-        out[static_cast<size_t>(y) * w + x] = rowbuf[x];
+        out[static_cast<size_t>(y) * w + x] = src[x];
     }
   }
   png_destroy_read_struct(&png, &info, nullptr);
@@ -275,56 +281,101 @@ int parallel_frames(int n, int nthreads, Fn fn) {
 extern "C" {
 
 // Probe dims/kind without decoding pixels.  kind: 0=png8, 1=jpeg, 2=webp,
-// 3=png16-gray.  Returns UG_ERR_* on failure.
+// 3=png16-gray.  Returns UG_ERR_* on failure.  Header-only: reads a small
+// bounded prefix of the file (growing only if a JPEG buries its SOF behind
+// large APPn segments), never the whole blob — this runs once per clip
+// decode to size the output buffer.
 int ug_image_info(const char* path, int32_t* h, int32_t* w, int32_t* kind) {
-  Blob blob;
-  int rc = read_file(path, &blob);
-  if (rc != UG_OK) return rc;
-  switch (sniff(blob.data.data(), blob.data.size())) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return UG_ERR_OPEN;
+  std::vector<uint8_t> buf;
+  size_t want = 4096;
+  auto fill = [&](size_t target) {
+    size_t had = buf.size();
+    if (target <= had) return;
+    buf.resize(target);
+    size_t got = fread(buf.data() + had, 1, target - had, f);
+    buf.resize(had + got);
+  };
+  fill(want);
+  if (buf.size() < 12) {
+    fclose(f);
+    return UG_ERR_FORMAT;
+  }
+  int rc = UG_ERR_FORMAT;
+  switch (sniff(buf.data(), buf.size())) {
     case FMT_PNG: {
-      png_image img;
-      memset(&img, 0, sizeof(img));
-      img.version = PNG_IMAGE_VERSION;
-      if (!png_image_begin_read_from_memory(&img, blob.data.data(),
-                                            blob.data.size()))
-        return UG_ERR_DECODE;
-      *h = img.height;
-      *w = img.width;
-      *kind = (img.format & PNG_FORMAT_FLAG_LINEAR) ? 3 : 0;
-      png_image_free(&img);
-      return UG_OK;
+      // IHDR is always the first chunk: width/height big-endian at 16/20,
+      // bit depth at 24, color type at 25 (PNG spec §11.2.2)
+      if (buf.size() >= 26 && !memcmp(buf.data() + 12, "IHDR", 4)) {
+        auto be32 = [&](size_t o) {
+          return (uint32_t(buf[o]) << 24) | (uint32_t(buf[o + 1]) << 16) |
+                 (uint32_t(buf[o + 2]) << 8) | uint32_t(buf[o + 3]);
+        };
+        *w = static_cast<int32_t>(be32(16));
+        *h = static_cast<int32_t>(be32(20));
+        *kind = (buf[24] == 16) ? 3 : 0;
+        rc = UG_OK;
+      } else {
+        rc = UG_ERR_DECODE;
+      }
+      break;
     }
     case FMT_JPEG: {
-      jpeg_decompress_struct cinfo;
-      JpegErrorMgr jerr;
-      cinfo.err = jpeg_std_error(&jerr.pub);
-      jerr.pub.error_exit = jpeg_error_exit;
-      if (setjmp(jerr.jump)) {
-        jpeg_destroy_decompress(&cinfo);
-        return UG_ERR_DECODE;
+      // scan marker segments for SOFn (dims live in its payload); APPn/COM
+      // segments are skipped via their length fields
+      rc = UG_ERR_DECODE;
+      size_t pos = 2;
+      for (;;) {
+        fill(pos + 10);
+        if (pos + 4 > buf.size()) break;            // truncated
+        if (buf[pos] != 0xFF) break;                 // marker desync
+        uint8_t m = buf[pos + 1];
+        if (m == 0xFF) {  // fill bytes
+          ++pos;
+          continue;
+        }
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9)) {  // standalone markers
+          pos += 2;
+          continue;
+        }
+        size_t seg = (size_t(buf[pos + 2]) << 8) | buf[pos + 3];
+        bool is_sof = (m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 &&
+                      m != 0xCC;
+        if (is_sof) {
+          fill(pos + 9);
+          if (pos + 9 <= buf.size()) {
+            *h = (int32_t(buf[pos + 5]) << 8) | buf[pos + 6];
+            *w = (int32_t(buf[pos + 7]) << 8) | buf[pos + 8];
+            *kind = 1;
+            rc = UG_OK;
+          }
+          break;
+        }
+        if (m == 0xDA) break;  // start of scan without SOF: malformed
+        pos += 2 + seg;
       }
-      jpeg_create_decompress(&cinfo);
-      jpeg_mem_src(&cinfo, const_cast<uint8_t*>(blob.data.data()),
-                   blob.data.size());
-      jpeg_read_header(&cinfo, TRUE);
-      *h = cinfo.image_height;
-      *w = cinfo.image_width;
-      *kind = 1;
-      jpeg_destroy_decompress(&cinfo);
-      return UG_OK;
+      break;
     }
     case FMT_WEBP: {
+      // all WebP variants (VP8/VP8L/VP8X) carry dims in the first 30 bytes
+      fill(64);
       int ww = 0, hh = 0;
-      if (!WebPGetInfo(blob.data.data(), blob.data.size(), &ww, &hh))
-        return UG_ERR_DECODE;
-      *h = hh;
-      *w = ww;
-      *kind = 2;
-      return UG_OK;
+      if (WebPGetInfo(buf.data(), buf.size(), &ww, &hh)) {
+        *h = hh;
+        *w = ww;
+        *kind = 2;
+        rc = UG_OK;
+      } else {
+        rc = UG_ERR_DECODE;
+      }
+      break;
     }
     default:
-      return UG_ERR_FORMAT;
+      rc = UG_ERR_FORMAT;
   }
+  fclose(f);
+  return rc;
 }
 
 // Decode one RGB image to interleaved u8 HWC (caller allocates h*w*3).

@@ -78,6 +78,8 @@ class InferenceServer:
 
     def predict(self, data: Dict[str, Any], timeout: float = 300.0) -> Dict[str, Any]:
         """Blocking single-clip inference (thread-safe)."""
+        if self._stop.is_set():
+            raise RuntimeError("server is shut down")
         req = _Request(data)
         self._queue.put(req, timeout=5.0)
         if not req.event.wait(timeout):
@@ -104,6 +106,15 @@ class InferenceServer:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # fail anything still queued so blocked predict() callers return
+        # immediately instead of waiting out their full timeout
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shut down before the request was dispatched"
+            req.event.set()
 
     # ------------------------------------------------------------------
 
@@ -130,16 +141,26 @@ class InferenceServer:
             batch = self._collect()
             if not batch:
                 continue
-            try:
-                if len(batch) > 1 and hasattr(self.model, "forward_batch"):
+            if len(batch) > 1 and callable(
+                getattr(self.model, "forward_batch", None)
+            ):
+                try:
                     outs = self.model.forward_batch([r.data for r in batch])
-                else:
-                    outs = [self.model.forward(r.data) for r in batch]
-                for req, out in zip(batch, outs):
-                    req.result = out
-            except Exception as exc:  # noqa: BLE001 — reported to the caller
+                    for req, out in zip(batch, outs):
+                        req.result = out
+                except Exception as exc:  # noqa: BLE001 — to the callers
+                    # one program ran the whole batch; all callers share
+                    # the failure
+                    for req in batch:
+                        req.error = f"{type(exc).__name__}: {exc}"
+            else:
+                # per-clip path: isolate failures so one malformed request
+                # cannot poison co-batched valid ones
                 for req in batch:
-                    req.error = f"{type(exc).__name__}: {exc}"
+                    try:
+                        req.result = self.model.forward(req.data)
+                    except Exception as exc:  # noqa: BLE001 — to the caller
+                        req.error = f"{type(exc).__name__}: {exc}"
             now = time.perf_counter()
             with self._lock:
                 self._served += len(batch)
@@ -156,11 +177,20 @@ class InferenceServer:
 
 
 def encode_arrays(arrays: Dict[str, Any]) -> bytes:
+    """npz-encode every numeric entry.  Anything array-coercible (numpy,
+    jax.Array, scalars, nested lists) is kept; only object-dtype values
+    (strings, dicts) are dropped — a model returning device arrays must not
+    silently lose predictions."""
+    out = {}
+    for k, v in arrays.items():
+        try:
+            a = np.asarray(v)
+        except Exception:  # noqa: BLE001 — non-coercible value, skip
+            continue
+        if a.dtype != object:
+            out[k] = a
     buf = io.BytesIO()
-    np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()
-                     if isinstance(v, (np.ndarray, int, float, np.generic))
-                     or (isinstance(v, (list, tuple))
-                         and np.asarray(v).dtype != object)})
+    np.savez(buf, **out)
     return buf.getvalue()
 
 
