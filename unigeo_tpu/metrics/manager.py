@@ -46,7 +46,12 @@ class MetricsManager:
         dirname = os.path.dirname(filepath)
         if dirname:
             os.makedirs(dirname, exist_ok=True)
-        export_df.to_csv(filepath, float_format="%.5f")
+        # atomic replace: the CSV is rewritten after EVERY clip (reference
+        # eval.py:99) and doubles as the resume journal — a crash mid-write
+        # must never leave a torn file for from_csv to reload
+        tmp = filepath + ".tmp"
+        export_df.to_csv(tmp, float_format="%.5f")
+        os.replace(tmp, filepath)
 
     # ------------------------------------------------------------------
     # resume support (not in the reference)

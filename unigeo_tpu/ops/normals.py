@@ -38,6 +38,38 @@ def _box_filter(x, patch_size: int):
     )
 
 
+def _solve33(A, b):
+    """Closed-form batched 3×3 solve via the adjugate (Cramer's rule).
+
+    jnp.linalg.solve lowers to a general LU path that runs ~1000× slower
+    than elementwise math for millions of tiny systems on TPU (measured
+    ~2 s for [8,384,512] batches on v5e); the cofactor formula is pure VPU
+    arithmetic that fuses with the surrounding ops.  The 1e-6 Tikhonov
+    identity guarantees det > 0.
+
+    A: [..., 3, 3] symmetric positive definite, b: [..., 3].
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    inv_det = 1.0 / det
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) * inv_det
+    x1 = (c01 * b0 + c11 * b1 + c21 * b2) * inv_det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("patch_size",))
 def surface_normals_from_points(xyz, patch_size: int = 5):
     """Camera-space points → unit normals, camera-facing.
@@ -73,7 +105,7 @@ def surface_normals_from_points(xyz, patch_size: int = 5):
     ata = ata + 1e-6 * jnp.eye(3, dtype=jnp.float32)
     at1 = jnp.stack([sums["x"], sums["y"], sums["z"]], axis=-1)[..., None]
 
-    n = jnp.linalg.solve(ata, at1)[..., 0]  # [..., H, W, 3]
+    n = _solve33(ata, at1[..., 0])  # [..., H, W, 3]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
     # orient toward the camera (reference: geometry_utils.py:67-69)
