@@ -389,6 +389,81 @@ def build_interiornet(root, cache_dir, clip_length=4, clip_overlap=0):
     )
 
 
+def build_vkitti(root, cache_dir, clip_length=4, clip_overlap=0):
+    """VKITTI2 merged-tar layout: Scene/variation/frames/{rgb,depth}/Camera_0
+    + extrinsic.txt/intrinsic.txt `frame cameraID ...` tables."""
+    from unigeo_tpu.data.loaders import VKitti2Dataset
+
+    scene = osp.join(root, "Scene01", "clone")
+    os.makedirs(osp.join(scene, "frames", "rgb", "Camera_0"), exist_ok=True)
+    os.makedirs(osp.join(scene, "frames", "depth", "Camera_0"), exist_ok=True)
+    ex_lines = ["frame cameraID r1,1 r1,2 r1,3 t1 r2,1 r2,2 r2,3 t2 "
+                "r3,1 r3,2 r3,3 t3 0 0 0 1"]
+    in_lines = ["frame cameraID K[0,0] K[1,1] K[0,2] K[1,2]"]
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        _save_rgb(
+            osp.join(scene, "frames", "rgb", "Camera_0", f"rgb_{i:05d}.jpg"), rgb
+        )
+        _save_depth_png(
+            osp.join(scene, "frames", "depth", "Camera_0", f"depth_{i:05d}.png"),
+            depth, 100,  # VKITTI depth pngs are uint16 centimeters
+        )
+        c2w_cv = coords.convert_pose_gl_cv(coords.se3_inverse(w2c_gl))
+        w2c_cv = coords.se3_inverse(c2w_cv)
+        ex_lines.append(
+            f"{i} 0 " + " ".join(f"{v:.9f}" for v in w2c_cv.reshape(-1))
+        )
+        # the right camera exists in real dumps; rows must be filtered out
+        ex_lines.append(f"{i} 1 " + " ".join("0" for _ in range(16)))
+        in_lines.append(f"{i} 0 {K[0,0]} {K[1,1]} {K[0,2]} {K[1,2]}")
+        in_lines.append(f"{i} 1 1 1 1 1")
+    with open(osp.join(scene, "extrinsic.txt"), "w") as f:
+        f.write("\n".join(ex_lines) + "\n")
+    with open(osp.join(scene, "intrinsic.txt"), "w") as f:
+        f.write("\n".join(in_lines) + "\n")
+    return VKitti2Dataset(
+        root=root, scene_list=["Scene01/clone"], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
+def build_matrixcity(root, cache_dir, clip_length=4, clip_overlap=0):
+    """MatrixCity block layout: transforms.json (instant-ngp intrinsics +
+    NeRF/OpenGL c2w poses) + rgb pngs + parallel `<rgb_dir>_depth/*.exr`
+    z-depth at the x100 value scale, written with the native EXR codec's
+    ZIP path so the loader exercises real decompression."""
+    from unigeo_tpu.data.exr import write_exr
+    from unigeo_tpu.data.loaders import MatrixCityDataset
+
+    block = osp.join(root, "aerial_block_1")
+    os.makedirs(osp.join(block, "rgb"), exist_ok=True)
+    os.makedirs(osp.join(block, "rgb_depth"), exist_ok=True)
+    meta = {
+        "fl_x": float(K[0, 0]), "fl_y": float(K[1, 1]),
+        "cx": float(K[0, 2]), "cy": float(K[1, 2]),
+        "frames": [],
+    }
+    for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
+        _save_rgb(osp.join(block, "rgb", f"{i:04d}.png"), rgb)
+        write_exr(
+            osp.join(block, "rgb_depth", f"{i:04d}.exr"),
+            depth.astype(np.float32) * 100.0, compression="ZIP",
+        )
+        c2w_gl = coords.se3_inverse(w2c_gl)
+        meta["frames"].append({
+            "file_path": f"rgb/{i:04d}.png",
+            "transform_matrix": [[float(v) for v in row] for row in c2w_gl],
+        })
+    import json
+
+    with open(osp.join(block, "transforms.json"), "w") as f:
+        json.dump(meta, f)
+    return MatrixCityDataset(
+        root=root, scene_list=["aerial_block_1"], clip_length=clip_length,
+        clip_overlap=clip_overlap, cache_dir=cache_dir,
+    )
+
+
 # name → builder, the registry both test modules parametrize over
 BUILDERS = {
     "SevenScenesDataset": build_seven_scenes,
@@ -401,4 +476,6 @@ BUILDERS = {
     "TumRGBDDataset": build_tumrgbd,
     "SintelDataset": build_sintel,
     "InteriorNetDataset": build_interiornet,
+    "VKitti2Dataset": build_vkitti,
+    "MatrixCityDataset": build_matrixcity,
 }

@@ -1,7 +1,8 @@
 """End-to-end evaluation over the checklist-dataset loaders.
 
 Each declared-but-unshipped reference dataset (tumRGBD / sintel /
-interiornet, dataset/Readme.md:3,10,12) runs through the FULL evaluation
+interiornet, dataset/Readme.md:3,10,12 — plus the two rows the reference
+leaves unchecked, vkitti / matrixcity, dataset/Readme.md:3-4) runs through the FULL evaluation
 pipeline on its on-disk format fixture with the GT-passthrough model: a
 perfect score on every metric family proves the loader's sample dict is
 self-consistent through GT prep, all four metric suites, and the CSV
@@ -17,7 +18,13 @@ from unigeo_tpu.config import EvalConfig
 from unigeo_tpu.evaluator import run_evaluation
 from unigeo_tpu.models.identity import IdentityModel
 
-from fixtures_loaders import build_interiornet, build_sintel, build_tumrgbd
+from fixtures_loaders import (
+    build_interiornet,
+    build_matrixcity,
+    build_sintel,
+    build_tumrgbd,
+    build_vkitti,
+)
 
 CFG = os.path.join(
     os.path.dirname(__file__), "..", "configs", "identity_synthetic.yaml"
@@ -27,6 +34,8 @@ BUILDERS = {
     "sintel": build_sintel,
     "tumrgbd": build_tumrgbd,
     "interiornet": build_interiornet,
+    "vkitti": build_vkitti,
+    "matrixcity": build_matrixcity,
 }
 
 

@@ -184,3 +184,37 @@ def test_disk_loader_config_roundtrip(tmp_path):
     ds2 = ClipDataset.from_config(cfg_path)
     assert type(ds2) is type(ds)
     assert ds2.pass_name == "final" and len(ds2) == len(ds)
+
+
+def test_vkitti_format(tmp_path):
+    from fixtures_loaders import build_vkitti
+    from unigeo_tpu.data.synthetic import render_box_frame
+
+    ds = build_vkitti(str(tmp_path / "vkitti"), str(tmp_path / "cache"))
+    data = _check(ds, expect_len=1)
+    # w2c OpenCV 4x4 rows from extrinsic.txt roundtrip (Camera_1 rows and
+    # the header line must be filtered out)
+    expect = coords.rebase_to_keyview(np.stack([f[0] for f in frames()]), 0)
+    assert np.allclose(data["extrinsics"], expect, atol=1e-4)
+    assert np.allclose(data["intrinsics"][0], K, atol=1e-4)
+    # centimeter uint16 depth → meters within quantization (the fixture
+    # writer truncates, so the error bound is a full centimeter)
+    _, d0, _ = render_box_frame(frames()[0][0], K, H, W)
+    depth_rt = -data["cam_coord"][0, 2]
+    assert np.allclose(depth_rt, d0, atol=1.05e-2)
+
+
+def test_matrixcity_format(tmp_path):
+    from fixtures_loaders import build_matrixcity
+    from unigeo_tpu.data.synthetic import render_box_frame
+
+    ds = build_matrixcity(str(tmp_path / "mc"), str(tmp_path / "cache"))
+    data = _check(ds, expect_len=1)
+    # NeRF/OpenGL c2w poses invert without conjugation (like Replica)
+    expect = coords.rebase_to_keyview(np.stack([f[0] for f in frames()]), 0)
+    assert np.allclose(data["extrinsics"], expect, atol=1e-4)
+    assert np.allclose(data["intrinsics"][0], K, atol=1e-4)
+    # float32 EXR depth at the x100 value scale is lossless after /100
+    _, d0, _ = render_box_frame(frames()[0][0], K, H, W)
+    depth_rt = -data["cam_coord"][0, 2]
+    assert np.allclose(depth_rt, d0, atol=1e-5)

@@ -206,3 +206,40 @@ def test_associate_empty_ref():
     assert len(qi) == 0 and len(ri) == 0
     qi, ri = associate_timestamps(np.array([]), np.array([1.0]))
     assert len(qi) == 0 and len(ri) == 0
+
+
+# ---------------------------------------------------------------------------
+# native EXR codec (unigeo_tpu/data/exr.py) — MatrixCity depth path
+
+
+def test_exr_roundtrip_all_modes(tmp_path, rng):
+    from unigeo_tpu.data.exr import read_exr, write_exr
+
+    a = (rng.random((37, 53)) * 50).astype(np.float32)
+    for comp in ("NONE", "ZIPS", "ZIP"):
+        p = str(tmp_path / f"{comp}.exr")
+        write_exr(p, a, compression=comp)
+        np.testing.assert_array_equal(read_exr(p), a)
+    # HALF quantizes on write; constant image stresses the zip predictor
+    p = str(tmp_path / "half.exr")
+    write_exr(p, a, pixel_type="HALF", compression="ZIP")
+    np.testing.assert_allclose(read_exr(p), a.astype(np.float16), atol=0)
+    c = np.full((40, 64), 7.25, np.float32)  # 40 rows: a partial ZIP chunk
+    write_exr(str(tmp_path / "c.exr"), c, compression="ZIP")
+    np.testing.assert_array_equal(read_exr(str(tmp_path / "c.exr")), c)
+
+
+def test_exr_multichannel_and_named_read(tmp_path, rng):
+    from unigeo_tpu.data.exr import read_exr, write_exr
+
+    chans = {
+        "R": rng.random((16, 16)).astype(np.float32),
+        "Z": rng.random((16, 16)).astype(np.float32),
+    }
+    p = str(tmp_path / "mc.exr")
+    write_exr(p, chans, compression="ZIP")
+    out = read_exr(p)
+    assert set(out) == {"R", "Z"}
+    np.testing.assert_array_equal(read_exr(p, channel="Z"), chans["Z"])
+    with pytest.raises(KeyError):
+        read_exr(p, channel="Y")

@@ -530,3 +530,178 @@ class InteriorNetDataset(_DiskClipDataset):
         ys = (np.arange(h, dtype=np.float32) - cy) / fy
         norm = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + 1.0)
         return d / norm
+
+
+@DATASETS.register("vkittiDataset")
+class VKitti2Dataset(_DiskClipDataset):
+    """Virtual KITTI 2 (synthetic driving sequences).
+
+    The reference lists vkitti in its dataset checklist (dataset/Readme.md:4,
+    unchecked — no loader shipped); this loader completes the roster.
+    Published layout (the rgb/depth/textgt tars extracted into one tree):
+    ``SceneXX/<variation>/frames/rgb/Camera_0/rgb_%05d.jpg``,
+    ``frames/depth/Camera_0/depth_%05d.png`` (uint16 z-depth in CENTIMETERS,
+    sky sentinel 655.35 m), and per-variation ``extrinsic.txt`` /
+    ``intrinsic.txt`` tables of ``frame cameraID ...`` rows: extrinsics are
+    row-major 4x4 OpenCV w2c matrices, intrinsics are ``fx fy cx cy``.
+    Scene names are ``SceneXX/<variation>`` paths.  Camera_0 (left) is
+    evaluated, matching the monocular protocol of every other loader.
+    Depth /100 to meters; clamp 80 m (the reference's outdoor gt bound,
+    eval_depth.py:8) masks the sky sentinel out.
+    """
+
+    base_dataset = "vkitti"
+    frame_gap = 1
+    depth_scale = 100.0
+    depth_clamp = (1e-3, 80.0)
+    camera_id = 0
+
+    def list_scenes(self, split: str) -> List[str]:
+        if self._scene_list is not None:
+            return list(self._scene_list)
+        split_file = osp.join(self.root, "splits", f"{split}.txt")
+        if osp.isfile(split_file):
+            with open(split_file) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        # fallback: Scene*/variation two-level scan
+        out = []
+        for scene in sorted(os.listdir(self.root)):
+            sdir = osp.join(self.root, scene)
+            if not osp.isdir(sdir) or scene == "splits":
+                continue
+            for var in sorted(os.listdir(sdir)):
+                if osp.isfile(osp.join(sdir, var, "extrinsic.txt")):
+                    out.append(f"{scene}/{var}")
+        return out
+
+    def _read_table(self, path):
+        """``frame cameraID v...`` rows (header line skipped), filtered to
+        self.camera_id, returned as {frame: [v...]} preserving file order."""
+        rows = {}
+        with open(path) as f:
+            for ln in f:
+                parts = ln.split()
+                if not parts or not parts[0].lstrip("-").isdigit():
+                    continue
+                frame, cam = int(parts[0]), int(parts[1])
+                if cam == self.camera_id:
+                    rows[frame] = [float(x) for x in parts[2:]]
+        return rows
+
+    def load_scene_index(self, scene_name: str) -> SceneIndex:
+        scene_dir = osp.join(self.root, scene_name)
+        extr = self._read_table(osp.join(scene_dir, "extrinsic.txt"))
+        intr = self._read_table(osp.join(scene_dir, "intrinsic.txt"))
+        cam = f"Camera_{self.camera_id}"
+        rel, reld, poses, Ks = [], [], [], []
+        for frame in sorted(extr):
+            if frame not in intr:
+                continue
+            rgb = osp.join(scene_name, "frames", "rgb", cam, f"rgb_{frame:05d}.jpg")
+            dep = osp.join(
+                scene_name, "frames", "depth", cam, f"depth_{frame:05d}.png"
+            )
+            if not osp.isfile(osp.join(self.root, rgb)):
+                continue
+            w2c_cv = np.asarray(extr[frame], np.float64).reshape(4, 4)
+            c2w_gl = coords.convert_pose_gl_cv(coords.se3_inverse(w2c_cv))
+            poses.append(coords.se3_inverse(c2w_gl).astype(np.float32))
+            fx, fy, cx, cy = intr[frame][:4]
+            Ks.append(np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32))
+            rel.append(rgb)
+            reld.append(dep)
+        return SceneIndex(scene_name, rel, reld, np.stack(poses), np.stack(Ks))
+
+
+@DATASETS.register("matrixcityDataset")
+class MatrixCityDataset(_DiskClipDataset):
+    """MatrixCity (city-scale synthetic aerial/street renders).
+
+    The reference lists matrixcity in its dataset checklist
+    (dataset/Readme.md:3, unchecked — no loader shipped); this loader
+    completes the roster.  Published layout per block: an instant-ngp-style
+    ``transforms.json`` (global ``fl_x/fl_y/cx/cy`` or ``camera_angle_x``
+    intrinsics, ``frames`` with ``file_path`` and a 4x4 c2w
+    ``transform_matrix``/``rot_mat`` in the NeRF/OpenGL camera convention —
+    so, like Replica, no CV conjugation) with RGB alongside and z-depth as
+    single-channel ``.exr`` (decoded by the native codec in data/exr.py).
+    Depth EXR resolution order: a frame's ``depth_path`` key, then
+    ``<rgb_dir>_depth/<stem>.exr``, then ``<block>/depth/<stem>.exr``.
+    MatrixCity stores depth values at a x100 scale (centimeter units);
+    ``depth_scale`` is a constructor knob for re-exports that differ.
+    """
+
+    base_dataset = "matrixcity"
+    frame_gap = 1
+    depth_scale = 100.0
+    depth_clamp = (1e-3, 80.0)
+
+    def __init__(self, root, depth_scale: float = 100.0,
+                 max_depth: float = 80.0, **kwargs):
+        self.depth_scale = float(depth_scale)
+        self.depth_clamp = (1e-3, float(max_depth))
+        super().__init__(root=root, **kwargs)
+
+    def config_extras(self):
+        return {
+            "depth_scale": self.depth_scale, "max_depth": self.depth_clamp[1],
+        }
+
+    @staticmethod
+    def _intrinsics_from_meta(meta, frame, w, h):
+        src = dict(meta)
+        src.update(frame)  # per-frame overrides win
+        if "fl_x" in src:
+            fx = float(src["fl_x"])
+            fy = float(src.get("fl_y", fx))
+        else:
+            fx = fy = 0.5 * w / np.tan(0.5 * float(src["camera_angle_x"]))
+        cx = float(src.get("cx", w / 2.0))
+        cy = float(src.get("cy", h / 2.0))
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+
+    def _depth_rel_path(self, scene_name: str, rgb_rel: str, frame) -> str:
+        if "depth_path" in frame:
+            return osp.normpath(osp.join(scene_name, frame["depth_path"]))
+        stem = osp.splitext(osp.basename(rgb_rel))[0]
+        rgb_dir = osp.dirname(rgb_rel)
+        cands = [
+            osp.join(rgb_dir + "_depth", stem + ".exr") if rgb_dir else None,
+            osp.join(scene_name, "depth", stem + ".exr"),
+        ]
+        for c in cands:
+            if c and osp.isfile(osp.join(self.root, c)):
+                return c
+        return cands[-1]
+
+    def load_scene_index(self, scene_name: str) -> SceneIndex:
+        import json as _json
+
+        with open(osp.join(self.root, scene_name, "transforms.json")) as f:
+            meta = _json.load(f)
+        frames = sorted(meta["frames"], key=lambda fr: str(fr["file_path"]))
+        rel, reld, poses, Ks = [], [], [], []
+        for fr in frames:
+            fp = str(fr["file_path"])
+            if not osp.splitext(fp)[1]:
+                fp += ".png"  # instant-ngp convention omits the extension
+            rgb = osp.normpath(osp.join(scene_name, fp))
+            if not osp.isfile(osp.join(self.root, rgb)):
+                continue
+            c2w_gl = np.asarray(
+                fr.get("transform_matrix", fr.get("rot_mat")), np.float64
+            ).reshape(4, 4)
+            poses.append(coords.se3_inverse(c2w_gl).astype(np.float32))
+            from PIL import Image
+
+            with Image.open(osp.join(self.root, rgb)) as im:
+                w, h = im.size
+            Ks.append(self._intrinsics_from_meta(meta, fr, w, h))
+            rel.append(rgb)
+            reld.append(self._depth_rel_path(scene_name, rgb, fr))
+        return SceneIndex(scene_name, rel, reld, np.stack(poses), np.stack(Ks))
+
+    def load_depth(self, path: str) -> np.ndarray:
+        from unigeo_tpu.data.exr import read_exr
+
+        return np.asarray(read_exr(path), np.float32) / self.depth_scale

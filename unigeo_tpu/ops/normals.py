@@ -38,35 +38,54 @@ def _box_filter(x, patch_size: int):
     )
 
 
-def _solve33(A, b):
-    """Closed-form batched 3×3 solve via the adjugate (Cramer's rule).
+def _plane_normal_direction(sums, n_count: float):
+    """Un-normalized plane-normal direction from patch moment sums.
 
-    jnp.linalg.solve lowers to a general LU path that runs ~1000× slower
-    than elementwise math for millions of tiny systems on TPU (measured
-    ~2 s for [8,384,512] batches on v5e); the cofactor formula is pure VPU
-    arithmetic that fuses with the surrounding ops.  The 1e-6 Tikhonov
-    identity guarantees det > 0.
+    The reference solves the uncentered normal equations
+    ``(Σ p pᵀ) n = Σ p`` per pixel (geometry_utils.py:9-70).  Solving THAT
+    system closed-form in f32 is catastrophically unstable: the second
+    moments are O(|p|²·N) while the plane signal (the centered scatter) is
+    O(extent²·N) — four to eight orders smaller — so Cramer cofactor sums
+    cancel to noise (measured ~90° mean error on PNG-quantized depth).
 
-    A: [..., 3, 3] symmetric positive definite, b: [..., 3].
+    Instead use Sherman–Morrison: with C = Σppᵀ − N p̄p̄ᵀ (centered scatter),
+        (C + N p̄p̄ᵀ) n = N p̄   ⇒   n = N·(C⁻¹p̄) / (1 + N·p̄ᵀC⁻¹p̄),
+    a POSITIVE multiple of C⁻¹p̄ (C is PSD), so after normalization the
+    direction adj(C_reg)·p̄ is exactly the reference's least-squares normal
+    — computed on the well-scaled centered matrix, with no division at all
+    (the adjugate is det·C⁻¹ and det > 0 cancels in the normalize).  Pure
+    VPU arithmetic that fuses with the surrounding ops; jnp.linalg.solve's
+    LU path is ~1000× slower for millions of tiny systems on TPU
+    (measured ~2 s for [8,384,512] batches on v5e).
+
+    Regularization: ε·(tr(C) + 1e-12)·I, the relative analog of the
+    reference's absolute 1e-6 Tikhonov identity (geometry_utils.py:33-34)
+    — only degenerate patches are affected by the difference.
     """
-    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    c00 = a11 * a22 - a12 * a21
-    c01 = a12 * a20 - a10 * a22
-    c02 = a10 * a21 - a11 * a20
-    det = a00 * c00 + a01 * c01 + a02 * c02
-    c10 = a02 * a21 - a01 * a22
-    c11 = a00 * a22 - a02 * a20
-    c12 = a01 * a20 - a00 * a21
-    c20 = a01 * a12 - a02 * a11
-    c21 = a02 * a10 - a00 * a12
-    c22 = a00 * a11 - a01 * a10
-    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
-    inv_det = 1.0 / det
-    x0 = (c00 * b0 + c10 * b1 + c20 * b2) * inv_det
-    x1 = (c01 * b0 + c11 * b1 + c21 * b2) * inv_det
-    x2 = (c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+    mx = sums["x"] / n_count
+    my = sums["y"] / n_count
+    mz = sums["z"] / n_count
+    cxx = sums["xx"] - n_count * mx * mx
+    cyy = sums["yy"] - n_count * my * my
+    czz = sums["zz"] - n_count * mz * mz
+    cxy = sums["xy"] - n_count * mx * my
+    cxz = sums["xz"] - n_count * mx * mz
+    cyz = sums["yz"] - n_count * my * mz
+    reg = 1e-6 * (cxx + cyy + czz) + 1e-12
+    cxx = cxx + reg
+    cyy = cyy + reg
+    czz = czz + reg
+    # adjugate of the symmetric regularized C
+    a00 = cyy * czz - cyz * cyz
+    a01 = cxz * cyz - cxy * czz
+    a02 = cxy * cyz - cxz * cyy
+    a11 = cxx * czz - cxz * cxz
+    a12 = cxy * cxz - cxx * cyz
+    a22 = cxx * cyy - cxy * cxy
+    # adj(C_reg) @ p̄
+    x0 = a00 * mx + a01 * my + a02 * mz
+    x1 = a01 * mx + a11 * my + a12 * mz
+    x2 = a02 * mx + a12 * my + a22 * mz
     return jnp.stack([x0, x1, x2], axis=-1)
 
 
@@ -94,18 +113,7 @@ def surface_normals_from_points(xyz, patch_size: int = 5):
         "z": _box_filter(z, patch_size),
     }
 
-    ata = jnp.stack(
-        [
-            sums["xx"], sums["xy"], sums["xz"],
-            sums["xy"], sums["yy"], sums["yz"],
-            sums["xz"], sums["yz"], sums["zz"],
-        ],
-        axis=-1,
-    ).reshape(x.shape + (3, 3))
-    ata = ata + 1e-6 * jnp.eye(3, dtype=jnp.float32)
-    at1 = jnp.stack([sums["x"], sums["y"], sums["z"]], axis=-1)[..., None]
-
-    n = _solve33(ata, at1[..., 0])  # [..., H, W, 3]
+    n = _plane_normal_direction(sums, float(patch_size * patch_size))
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
     # orient toward the camera (reference: geometry_utils.py:67-69)
