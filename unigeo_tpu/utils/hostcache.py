@@ -21,14 +21,31 @@ import platform
 
 
 def _host_tag() -> str:
+    # The cpuinfo flags line alone is NOT a sufficient key: LLVM detects
+    # host features by executing CPUID directly, and two VMs can present
+    # identical kernel-masked cpuinfo flags while differing in raw CPUID
+    # bits (observed: a foreign AOT entry with +pku/+prefer-no-scatter
+    # loaded under a matching flags hash).  Mix in the kernel boot_id so a
+    # CPU cache dir is only ever reused within the same booted machine —
+    # same-process-tree reruns (pytest, driver rounds on one host) stay
+    # warm, and a driver hop to a new terminal host always starts clean.
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith(("flags", "Features")):  # x86 / arm
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                    parts.append(line)
+                    break
     except OSError:
         pass
-    return platform.machine() or "unknown"
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append(f.read())
+    except OSError:
+        pass
+    if not parts:
+        return platform.machine() or "unknown"
+    return hashlib.sha1("".join(parts).encode()).hexdigest()[:10]
 
 
 def host_cache_dir(repo_root: str, cpu: bool | None = None) -> str:
@@ -45,6 +62,19 @@ def host_cache_dir(repo_root: str, cpu: bool | None = None) -> str:
     """
     if cpu is None:
         cpu = os.environ.get("JAX_PLATFORMS", "").split(",")[0] in ("", "cpu")
-    path = os.path.join(repo_root, ".jax_cache", _host_tag() if cpu else "")
+    root = os.path.join(repo_root, ".jax_cache")
+    tag = _host_tag() if cpu else ""
+    path = os.path.join(root, tag)
     os.makedirs(path, exist_ok=True)
+    if cpu:
+        # Fingerprint dirs from other boots/hosts can never be reused by
+        # this machine (and are exactly the foreign-AOT hazard); drop them.
+        # Concurrent processes on this boot share `tag`, so siblings are
+        # always dead.  TPU entries are flat files in `root`, untouched.
+        import shutil
+
+        for entry in os.listdir(root):
+            sub = os.path.join(root, entry)
+            if entry != tag and os.path.isdir(sub):
+                shutil.rmtree(sub, ignore_errors=True)
     return path
