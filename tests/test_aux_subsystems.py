@@ -354,26 +354,53 @@ def test_host_cache_dir_boot_keyed_and_prunes_foreign(tmp_path, monkeypatch):
     can SIGSEGV on load (utils/hostcache.py)."""
     from unigeo_tpu.utils import hostcache
 
+    import builtins
+    import os
+    import time
+
     tag = hostcache._host_tag()
     # The tag must depend on boot_id, not just the cpuinfo flags line:
     # identical kernel-masked flags on two VMs do not imply identical
-    # raw-CPUID features.
-    with open("/proc/sys/kernel/random/boot_id") as f:
-        boot = f.read()
-    import hashlib
+    # raw-CPUID features.  Intercept the boot_id read and assert the tag
+    # moves with it.
+    real_open = builtins.open
 
-    assert tag != hashlib.sha1(boot.encode()).hexdigest()[:10] or True  # smoke
+    def fake_open(path, *a, **k):
+        if str(path) == "/proc/sys/kernel/random/boot_id":
+            import io
+
+            return io.StringIO("00000000-0000-0000-0000-000000000000\n")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    other_boot_tag = hostcache._host_tag()
+    monkeypatch.setattr(builtins, "open", real_open)
+    assert other_boot_tag != tag, "tag must change when boot_id changes"
+
     repo = tmp_path / "repo"
-    foreign = repo / ".jax_cache" / "deadbeef00"
-    foreign.mkdir(parents=True)
-    (foreign / "stale_entry").write_bytes(b"x")
+    stale = repo / ".jax_cache" / "deadbeef00"
+    stale.mkdir(parents=True)
+    (stale / "stale_entry").write_bytes(b"x")
+    two_days_ago = time.time() - 2 * 24 * 3600
+    os.utime(stale, (two_days_ago, two_days_ago))
+    fresh = repo / ".jax_cache" / "cafecafe00"
+    fresh.mkdir(parents=True)
     d = hostcache.host_cache_dir(str(repo), cpu=True)
     assert d.endswith(tag) and (repo / ".jax_cache" / tag).is_dir()
-    assert not foreign.exists(), "foreign fingerprint dir must be pruned"
+    assert not stale.exists(), "stale foreign fingerprint dir must be pruned"
+    # A RECENT foreign dir survives: on a network-shared checkout another
+    # live host may be using it right now (24h mtime grace).
+    assert fresh.exists(), "recent foreign dir must survive the grace window"
     # Stable across calls (warm reruns on the same boot).
     assert hostcache.host_cache_dir(str(repo), cpu=True) == d
+    # UNIGEO_KEEP_FOREIGN_CACHE=1 disables pruning entirely.
+    stale.mkdir(parents=True)
+    os.utime(stale, (two_days_ago, two_days_ago))
+    monkeypatch.setenv("UNIGEO_KEEP_FOREIGN_CACHE", "1")
+    hostcache.host_cache_dir(str(repo), cpu=True)
+    assert stale.exists()
+    monkeypatch.delenv("UNIGEO_KEEP_FOREIGN_CACHE")
     # Accelerator runs use the flat shared dir and never prune.
-    foreign.mkdir(parents=True)
     flat = hostcache.host_cache_dir(str(repo), cpu=False)
     assert flat.rstrip("/").endswith(".jax_cache")
-    assert foreign.exists()
+    assert stale.exists()

@@ -44,7 +44,12 @@ def _host_tag() -> str:
     except OSError:
         pass
     if not parts:
-        return platform.machine() or "unknown"
+        # No /proc at all (non-Linux).  Mix the node name in with the
+        # architecture: machine() alone would reintroduce the cross-host
+        # collision this keying exists to prevent.  Same-host reruns still
+        # share a tag; a reused nodename across re-imaged hosts remains a
+        # (documented) residual hazard on /proc-less platforms only.
+        parts = [platform.machine() or "unknown", os.uname().nodename]
     return hashlib.sha1("".join(parts).encode()).hexdigest()[:10]
 
 
@@ -66,15 +71,25 @@ def host_cache_dir(repo_root: str, cpu: bool | None = None) -> str:
     tag = _host_tag() if cpu else ""
     path = os.path.join(root, tag)
     os.makedirs(path, exist_ok=True)
-    if cpu:
+    if cpu and os.environ.get("UNIGEO_KEEP_FOREIGN_CACHE", "") != "1":
         # Fingerprint dirs from other boots/hosts can never be reused by
-        # this machine (and are exactly the foreign-AOT hazard); drop them.
-        # Concurrent processes on this boot share `tag`, so siblings are
-        # always dead.  TPU entries are flat files in `root`, untouched.
+        # this machine (and are exactly the foreign-AOT hazard); drop them
+        # once they look abandoned.  The 24h mtime grace handles a checkout
+        # shared between two concurrently-live hosts (network mount): an
+        # in-use sibling keeps a fresh mtime and survives, so the two sides
+        # don't ping-pong-delete each other's caches on every process
+        # start.  Set UNIGEO_KEEP_FOREIGN_CACHE=1 to disable pruning
+        # entirely.  TPU entries are flat files in `root`, untouched.
         import shutil
+        import time
 
+        cutoff = time.time() - 24 * 3600
         for entry in os.listdir(root):
             sub = os.path.join(root, entry)
             if entry != tag and os.path.isdir(sub):
-                shutil.rmtree(sub, ignore_errors=True)
+                try:
+                    if os.path.getmtime(sub) < cutoff:
+                        shutil.rmtree(sub, ignore_errors=True)
+                except OSError:
+                    pass
     return path
