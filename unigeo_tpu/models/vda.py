@@ -42,13 +42,29 @@ from unigeo_tpu.registry import MODELS
 
 
 class VDANetwork(nn.Module):
-    """[T, H, W, 3] in 0..1 → disparity [T, H, W] (≥ 0, relative)."""
+    """[T, H, W, 3] in 0..1 → disparity [T, H, W] (≥ 0, relative).
+
+    The DINOv2-compat flags (all default-off, so the base param tree is
+    unchanged) make the backbone structurally loadable from real
+    DepthAnything/DINOv2-lineage checkpoints via utils/convert_vda.py:
+    qkv biases, a class token participating in attention, the learned
+    position table (sliced top-left for non-native grids), and the final
+    backbone norm DINOv2's get_intermediate_layers(norm=True) applies to
+    every hooked layer.  Residual remaining numeric deltas vs torch
+    DINOv2: LayerNorm eps (1e-5 here vs 1e-6) and pos-embed grid
+    interpolation at non-native resolutions (slice here).
+    """
 
     width: int = 384  # ViT-S default (DepthAnything backbone family)
     depth: int = 12
     num_heads: int = 6
     patch_size: int = 14
     temporal_heads: int = 6
+    qkv_bias: bool = False  # DINOv2: True
+    use_class_token: bool = False  # DINOv2: True
+    learned_pos_embed: bool = False  # DINOv2: True (trained at grid 37)
+    max_grid: int = 37  # 518 / 14, the DINOv2 pos-table grid
+    hook_norm: bool = False  # apply the final norm to each hooked layer
 
     @nn.compact
     def __call__(self, frames):
@@ -56,19 +72,46 @@ class VDANetwork(nn.Module):
         imgs = (frames - 0.5) / 0.5
         tokens, (gh, gw) = PatchEmbed(self.width, self.patch_size,
                                       name="patch_embed")(imgs)
-        tokens = tokens + sincos_2d_pos_embed(self.width, gh, gw)[None]
+        n_cls = 1 if self.use_class_token else 0
+        if self.use_class_token:
+            cls = self.param(
+                "cls_token", nn.initializers.normal(0.02), (self.width,))
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (t, 1, self.width)), tokens], axis=1)
+        if self.learned_pos_embed:
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (self.max_grid * self.max_grid + n_cls, self.width))
+            grid = pos[n_cls:].reshape(self.max_grid, self.max_grid,
+                                       self.width)
+            pos_full = grid[:gh, :gw].reshape(gh * gw, self.width)
+            if n_cls:
+                pos_full = jnp.concatenate([pos[:n_cls], pos_full], axis=0)
+        else:
+            pos_full = sincos_2d_pos_embed(self.width, gh, gw)
+            if n_cls:
+                pos_full = jnp.concatenate(
+                    [jnp.zeros((1, self.width), pos_full.dtype), pos_full],
+                    axis=0)
+        tokens = tokens + pos_full[None]
         _, layers = ScannedViTBlocks(
-            self.depth, self.num_heads, return_layers=True, name="blocks",
-        )(tokens)  # [depth, T, N, C]
+            self.depth, self.num_heads, qkv_bias=self.qkv_bias,
+            return_layers=True, name="blocks",
+        )(tokens)  # [depth, T, N(+1), C]
 
+        hn = (nn.LayerNorm(epsilon=1e-5, name="hook_norm")
+              if self.hook_norm else None)
         # DepthAnything hook convention: blocks at L/4, L/2, 3L/4, L
         idx = [self.depth * (i + 1) // 4 - 1 for i in range(4)]
         hooks = []
         for h, i in enumerate(idx):
-            x = layers[i]  # [T, N, C]
+            x = layers[i][:, n_cls:]  # [T, N, C] (class token dropped)
+            if hn is not None:
+                x = hn(x)
             # temporal module: attend across frames at each token location
             xt = jnp.swapaxes(x, 0, 1)  # [N, T, C]
-            xt = ViTBlock(self.temporal_heads, name=f"temporal_{h}")(xt)
+            xt = ViTBlock(self.temporal_heads, qkv_bias=self.qkv_bias,
+                          name=f"temporal_{h}")(xt)
             hooks.append(jnp.swapaxes(xt, 0, 1))
 
         disp = DPTHead(
