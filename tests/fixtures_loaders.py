@@ -103,7 +103,13 @@ def build_bonn(root, cache_dir, clip_length=4, clip_overlap=0):
     )
 
 
-def build_scannetv2(root, cache_dir, clip_length=2, clip_overlap=0):
+def build_scannetv2(root, cache_dir, clip_length=2, clip_overlap=0,
+                    sensor_res=False):
+    """``sensor_res=True`` mimics the REAL dataset's resolution split —
+    depth at the 480x640 sensor resolution (nearest-upscaled), RGB at a
+    different size — so the loader's RGB→depth-resolution resize path
+    (reference scannetv2.py:108-114 hardcodes Image.resize((640, 480)))
+    is exercised; default keeps everything at the tiny fixture size."""
     from unigeo_tpu.data.loaders import ScannetV2Dataset
 
     scene = osp.join(root, "scene0707_00")
@@ -112,9 +118,16 @@ def build_scannetv2(root, cache_dir, clip_length=2, clip_overlap=0):
     os.makedirs(osp.join(scene, "intrinsic"), exist_ok=True)
     poses = []
     for i, (w2c_gl, rgb, depth, _) in enumerate(frames()):
-        Image.fromarray(np.moveaxis(rgb, 0, -1).astype(np.uint8)).save(
-            osp.join(scene, "color_270", f"{i:04d}.jpg")
-        )
+        img = Image.fromarray(np.moveaxis(rgb, 0, -1).astype(np.uint8))
+        if sensor_res:
+            img = img.resize((2 * W, 2 * H))
+            depth = np.asarray(
+                Image.fromarray((depth * 1000).astype(np.uint16)).resize(
+                    (640, 480), Image.NEAREST
+                ),
+                dtype=np.float32,
+            ) / 1000.0
+        img.save(osp.join(scene, "color_270", f"{i:04d}.jpg"))
         _save_depth_png(osp.join(scene, "depth_270", f"{i:04d}.png"), depth, 1000)
         poses.append(coords.convert_pose_gl_cv(coords.se3_inverse(w2c_gl)))
     np.savetxt(osp.join(scene, "pose_270.txt"), np.concatenate(poses))

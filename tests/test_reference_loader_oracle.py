@@ -1,0 +1,270 @@
+"""Differential tests that EXECUTE the reference dataset loaders.
+
+The disk loaders in unigeo_tpu/data/loaders.py were validated against
+self-made fixtures synthesized from the same survey the loaders were written
+from — circular (VERDICT round-2 weak #4).  These tests break the circle for
+the pose / intrinsics / clip-slicing / keyview-rebasing logic: they import
+the reference's own loader modules from /root/reference (torch, PIL, pandas,
+h5py are installed; skimage / pytoml / torchvision / evo are stubbed at
+import time only — nothing under test calls into them except bonn's TUM
+reader, which gets a 10-line scipy-backed shim), run the reference
+Sequence → Sample.load → postprocess pipeline VERBATIM on the shared fixture
+scenes, and assert our loaders emit identical geometry.
+
+This executes the exact code paths the survey calls the #2 correctness
+hazard (SURVEY.md §7 "hard parts": OpenGL/OpenCV flips + keyview rebasing,
+scattered and asymmetric per dataset):
+
+  * ScanNet++   reference dataset/scannetpp/scannetpp.py:20-187 (gap 3,
+                OpenCV→GL pose conjugation, webp normals, 80 m clamp)
+  * 7-Scenes    dataset/sevenScenes/sevenScenes.py:16-173 (gap 1, fixed K,
+                20 m clamp, no normals)
+  * Replica     dataset/replica/replica.py:16-180 (gap 3, traj_w_cgl
+                already-OpenGL poses — NO conjugation)
+  * NeuralRGBD  dataset/neuralRGBD/neuralRGBD.py:16-190 (gap 3, nan-flagged
+                pose validity, >10 m depth zeroing at load)
+  * ScanNetV2   dataset/scannetv2/scannetv2.py:16-157 (gap 2, intrinsic
+                file, NaN pose filter)
+  * Bonn        dataset/bonn/bonn.py:16-170 (gap 1, TUM trajectory, /5000
+                scale, zero-depth → NaN)
+
+Hypersim is excluded: the reference HyperSimDataset requires
+hypersim_scores.zip, stripped from the snapshot (.MISSING_LARGE_BLOBS:1).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import sys
+import types
+
+import numpy as np
+import pytest
+
+pytest.importorskip("torch")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return sys.modules[name]
+
+
+def _read_tum_shim(path):
+    """Minimal stand-in for evo.tools.file_interface.read_tum_trajectory_file
+    (the only evo symbol the bonn loader touches at metadata time,
+    reference dataset/bonn/bonn.py:64-66).  TUM rows are
+    ``t x y z qx qy qz qw`` with c2w poses; evo returns an object exposing
+    .poses_se3 as a list of [4,4].  scipy's quaternion convention (xyzw)
+    matches TUM column order directly."""
+    from scipy.spatial.transform import Rotation
+
+    data = np.loadtxt(path, comments="#").reshape(-1, 8)
+    poses = []
+    for row in data:
+        m = np.eye(4)
+        m[:3, :3] = Rotation.from_quat(row[4:8]).as_matrix()
+        m[:3, 3] = row[1:4]
+        poses.append(m)
+    return types.SimpleNamespace(poses_se3=poses)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the six reference loader modules with the absent native deps
+    stubbed.  dataset/__init__.py imports every loader, which transitively
+    pulls skimage (transforms.py:3), pytoml (dataset.py:10), torchvision
+    (transforms.py:5), and evo (bonn.py:64) — stubs satisfy the module-level
+    imports; only the evo TUM reader is actually executed (shimmed above)."""
+    _stub_module("skimage")
+    _stub_module("skimage.transform", resize=None)
+    _stub_module("pytoml", load=None, loads=None)
+    _stub_module("torchvision")
+    _stub_module("torchvision.transforms", ColorJitter=object)
+    _stub_module("evo")
+    _stub_module("evo.tools", file_interface=types.SimpleNamespace(
+        read_tum_trajectory_file=_read_tum_shim))
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    from dataset.bonn import bonn as r_bonn
+    from dataset.neuralRGBD import neuralRGBD as r_nrgbd
+    from dataset.replica import replica as r_replica
+    from dataset.scannetpp import scannetpp as r_spp
+    from dataset.scannetv2 import scannetv2 as r_sv2
+    from dataset.sevenScenes import sevenScenes as r_7s
+
+    return types.SimpleNamespace(
+        bonn=r_bonn, nrgbd=r_nrgbd, replica=r_replica,
+        spp=r_spp, sv2=r_sv2, sevenscenes=r_7s,
+    )
+
+
+def _ref_first_clip(seq_cls, sample_cls, root, scene, clip_length,
+                    clip_overlap, has_normals=False):
+    """Mirror of the reference ``_init_samples_from_root_dir`` glue (e.g.
+    dataset/scannetpp/scannetpp.py:208-244): build the first clip's Sample
+    from a Sequence and run the reference load + postprocess verbatim.
+    The Dataset wrapper itself is bypassed only because it writes pickle
+    sample-lists into the (read-only) reference tree and needs split files
+    for real scene names."""
+    seq = seq_cls(root, scene, clip_length=clip_length,
+                  clip_overlap=clip_overlap)
+    key0 = sorted(seq.source_ids.keys())[0]
+    ids = seq.source_ids[key0]
+    sample = sample_cls(base=root, name=scene)
+    sample.data["images"] = [seq.rgb_path_list[i] for i in ids]
+    sample.data["poses"] = [seq.extrinsics[i] for i in ids]
+    sample.data["intrinsics"] = [seq.intrinsics[i] for i in ids]
+    sample.data["depth"] = [seq.depth_path_list[i] for i in ids]
+    if has_normals:
+        sample.data["normal"] = [seq.normal_path_list[i] for i in ids]
+    sample.data["keyview_idx"] = 0
+    return sample.load(root)
+
+
+def _assert_clip_match(ref_dict, ours, *, normals=False, atol=1e-4,
+                       img_atol=1e-3):
+    """Field-by-field comparison of the reference sample dict (lists of
+    per-frame arrays) against our stacked sample."""
+    np.testing.assert_allclose(
+        np.stack(ref_dict["images"]), ours["images"], atol=img_atol,
+        err_msg="images")
+    np.testing.assert_allclose(
+        np.stack(ref_dict["intrinsics"]), ours["intrinsics"], atol=1e-5,
+        err_msg="intrinsics")
+    np.testing.assert_allclose(
+        np.stack(ref_dict["extrinsics"]), ours["extrinsics"], atol=atol,
+        err_msg="rebased extrinsics")
+    np.testing.assert_allclose(
+        np.stack(ref_dict["cam_coord"]), ours["cam_coord"], atol=atol,
+        err_msg="cam_coord")
+    np.testing.assert_allclose(
+        np.stack(ref_dict["world_coord"]), ours["world_coord"], atol=atol,
+        err_msg="world_coord")
+    np.testing.assert_array_equal(
+        np.stack(ref_dict["mask"]), ours["mask"], err_msg="mask")
+    assert [osp.basename(p) for p in ref_dict["image_names"]] == list(
+        ours["image_names"])
+    if normals:
+        np.testing.assert_allclose(
+            np.stack(ref_dict["cam_normal"]), ours["cam_normal"], atol=atol,
+            err_msg="cam_normal")
+        np.testing.assert_allclose(
+            np.stack(ref_dict["world_normal"]), ours["world_normal"],
+            atol=atol, err_msg="world_normal")
+
+
+def test_scannetpp_matches_reference(ref, tmp_path):
+    from fixtures_loaders import build_scannetpp
+
+    root = str(tmp_path / "spp")
+    ds = build_scannetpp(root, str(tmp_path / "cache"), clip_length=2)
+    ref_dict = _ref_first_clip(
+        ref.spp.ScannetPPSequence, ref.spp.ScannetPPSample,
+        root, "02455b3d20", 2, 0, has_normals=True)
+    _assert_clip_match(ref_dict, ds[0], normals=True)
+
+
+def test_seven_scenes_matches_reference(ref, tmp_path):
+    from fixtures_loaders import build_seven_scenes
+
+    root = str(tmp_path / "7s")
+    ds = build_seven_scenes(root, str(tmp_path / "cache"), clip_length=4)
+    # reference scene names include the seq dir ("chess/seq-01" layout is
+    # flattened by its glob — scene name is the directory under root)
+    ref_dict = _ref_first_clip(
+        ref.sevenscenes.SevenScenesSequence, ref.sevenscenes.SevenScenesSample,
+        root, "chess/seq-01", 4, 0)
+    _assert_clip_match(ref_dict, ds[0])
+
+
+def test_replica_matches_reference(ref, tmp_path):
+    from fixtures_loaders import build_replica
+
+    root = str(tmp_path / "replica")
+    ds = build_replica(root, str(tmp_path / "cache"), clip_length=2)
+    ref_dict = _ref_first_clip(
+        ref.replica.replicaSequence, ref.replica.replicaSample,
+        root, "room_0", 2, 0)
+    _assert_clip_match(ref_dict, ds[0])
+
+
+def test_neuralrgbd_matches_reference(ref, tmp_path):
+    from fixtures_loaders import build_neuralrgbd
+
+    root = str(tmp_path / "nrgbd")
+    ds = build_neuralrgbd(root, str(tmp_path / "cache"), clip_length=2)
+    ref_dict = _ref_first_clip(
+        ref.nrgbd.neuralRGBDSequence, ref.nrgbd.neuralRGBDSample,
+        root, "kitchen", 2, 0)
+    _assert_clip_match(ref_dict, ds[0])
+
+
+def test_neuralrgbd_nan_pose_filter_matches_reference(ref, tmp_path):
+    """The nan-flagged pose validity path (neuralRGBD.py:83-103): frame 1
+    invalid → both sides must drop it BEFORE gap-slicing."""
+    from fixtures_loaders import build_neuralrgbd
+
+    root = str(tmp_path / "nrgbd_nan")
+    ds = build_neuralrgbd(root, str(tmp_path / "cache"), clip_length=1,
+                          nan_frame=1)
+    ref_dict = _ref_first_clip(
+        ref.nrgbd.neuralRGBDSequence, ref.nrgbd.neuralRGBDSample,
+        root, "kitchen", 1, 0)
+    _assert_clip_match(ref_dict, ds[0])
+
+
+def test_scannetv2_matches_reference(ref, tmp_path):
+    """Uses the sensor-resolution fixture (depth 480x640, RGB elsewhere)
+    because the reference UNCONDITIONALLY resizes RGB to (640, 480)
+    (scannetv2.py:108-114) — on the real dataset that is the depth
+    resolution, which is the policy our loader implements
+    (rgb_match_depth_resolution).  img_atol=2: jpeg decode + uint8 bicubic
+    can differ by one level between decoders."""
+    from fixtures_loaders import build_scannetv2
+
+    root = str(tmp_path / "sv2")
+    ds = build_scannetv2(root, str(tmp_path / "cache"), clip_length=2,
+                         sensor_res=True)
+    ref_dict = _ref_first_clip(
+        ref.sv2.ScannetV2Sequence, ref.sv2.ScannetV2Sample,
+        root, "scene0707_00", 2, 0)
+    _assert_clip_match(ref_dict, ds[0], img_atol=2.0)
+
+
+def test_bonn_matches_reference(ref, tmp_path):
+    from fixtures_loaders import build_bonn
+
+    root = str(tmp_path / "bonn")
+    ds = build_bonn(root, str(tmp_path / "cache"), clip_length=4)
+    ref_dict = _ref_first_clip(
+        ref.bonn.boonSequence,  # [sic] upstream class-name typo, bonn.py:16
+        ref.bonn.bonnSample,
+        root, "rgbd_bonn_balloon", 4, 0)
+    _assert_clip_match(ref_dict, ds[0])
+
+
+def test_clip_slicing_matches_reference(ref, tmp_path):
+    """Last-clip padding by repeating the final frame
+    (scannetpp.py:42-48): with 4 fixture frames, gap 1, clip_length 3,
+    overlap 1, the reference yields clips [0,1,2], [2,3,3]; assert our
+    sample list slices identically (frame ids via image_names)."""
+    from fixtures_loaders import build_seven_scenes
+
+    root = str(tmp_path / "7s_clip")
+    ds = build_seven_scenes(root, str(tmp_path / "cache"), clip_length=3,
+                            clip_overlap=1)
+    seq = ref.sevenscenes.SevenScenesSequence(
+        root, "chess/seq-01", clip_length=3, clip_overlap=1)
+    ref_groups = [seq.source_ids[k] for k in sorted(seq.source_ids)]
+    our_groups = [
+        [int(n.split("-")[1].split(".")[0]) for n in ds[i]["image_names"]]
+        for i in range(len(ds))
+    ]
+    assert our_groups == ref_groups

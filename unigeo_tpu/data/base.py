@@ -109,6 +109,10 @@ class ClipDataset:
     depth_scale = 1000.0
     depth_clamp = (1e-3, 20.0)
     native_normals = False
+    # Resize RGB frames to the depth map's resolution when they differ
+    # (ScanNetV2: the reference hardcodes Image.resize((640, 480)) — the
+    # depth sensor resolution — at load, scannetv2.py:108-114).
+    rgb_match_depth_resolution = False
 
     def __init__(
         self,
@@ -292,6 +296,24 @@ class ClipDataset:
         normal[invalid] = 0
         return normal.astype(np.float32).transpose(2, 0, 1)
 
+    @staticmethod
+    def _resize_rgb_clip(images: np.ndarray, h: int, w: int) -> np.ndarray:
+        """PIL-bicubic resize of a [Nf,3,H,W] 0-255 float clip to (h, w),
+        applied to the uint8 image exactly as the reference does
+        (scannetv2.py:108-114: ``Image.open(...).resize((640, 480))`` —
+        RGB resized to the depth resolution, intrinsics NOT adjusted since
+        they are the depth intrinsics already)."""
+        from PIL import Image
+
+        out = []
+        for img in images:
+            pil = Image.fromarray(np.moveaxis(img, 0, -1).astype(np.uint8))
+            out.append(
+                np.asarray(pil.resize((w, h)), dtype=np.float32)
+                .transpose(2, 0, 1)
+            )
+        return np.stack(out)
+
     # ------------------------------------------------------------------
     # clip assembly
     # ------------------------------------------------------------------
@@ -342,6 +364,10 @@ class ClipDataset:
         depths = self._native_clip("depth", depth_paths)
         if depths is None:
             depths = [self.load_depth(p) for p in depth_paths]
+        if self.rgb_match_depth_resolution:
+            dh, dw = np.asarray(depths[0]).shape[-2:]
+            if images.shape[-2:] != (dh, dw):
+                images = self._resize_rgb_clip(images, dh, dw)
         cam_coord = np.stack(
             [self._depth_to_gl_points(d, intrinsics[k]) for k, d in enumerate(depths)]
         )  # [Nf,3,H,W] OpenGL camera points

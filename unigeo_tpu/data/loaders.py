@@ -286,6 +286,9 @@ class ScannetV2Dataset(_DiskClipDataset):
     frame_gap = 2
     depth_scale = 1000.0
     depth_clamp = (1e-3, 20.0)
+    # reference resizes color_270 jpgs (968x1296) to the depth resolution
+    # 480x640 at load (scannetv2.py:108-114)
+    rgb_match_depth_resolution = True
 
     def load_scene_index(self, scene_name: str) -> SceneIndex:
         scene_dir = osp.join(self.root, scene_name)
