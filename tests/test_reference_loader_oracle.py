@@ -35,23 +35,16 @@ hypersim_scores.zip, stripped from the snapshot (.MISSING_LARGE_BLOBS:1).
 from __future__ import annotations
 
 import os.path as osp
-import sys
 import types
 
 import numpy as np
 import pytest
 
+from refstubs import make_stub, reference_imports
+
 pytest.importorskip("torch")
 
 REFERENCE_ROOT = "/root/reference"
-
-
-def _stub_module(name, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules.setdefault(name, mod)
-    return sys.modules[name]
 
 
 def _read_tum_shim(path):
@@ -79,30 +72,39 @@ def ref():
     stubbed.  dataset/__init__.py imports every loader, which transitively
     pulls skimage (transforms.py:3), pytoml (dataset.py:10), torchvision
     (transforms.py:5), and evo (bonn.py:64) — stubs satisfy the module-level
-    imports; only the evo TUM reader is actually executed (shimmed above)."""
-    _stub_module("skimage")
-    _stub_module("skimage.transform", resize=None)
-    _stub_module("pytoml", load=None, loads=None)
-    _stub_module("torchvision")
-    _stub_module("torchvision.transforms", ColorJitter=object)
-    _stub_module("evo")
-    _stub_module("evo.tools", file_interface=types.SimpleNamespace(
-        read_tum_trajectory_file=_read_tum_shim))
+    imports; only the evo TUM reader is actually executed (shimmed above).
+    Stubbing is hermetic (refstubs.reference_imports): override semantics
+    plus full restore at module teardown, so this file's evo shim can't
+    collide with test_reference_oracle's incompatible evo stub when both
+    run in one xdist worker, and no stub leaks into other test files."""
+    stubs = {
+        "skimage": make_stub("skimage"),
+        "skimage.transform": make_stub("skimage.transform", resize=None),
+        "pytoml": make_stub("pytoml", load=None, loads=None),
+        "torchvision": make_stub("torchvision"),
+        "torchvision.transforms": make_stub(
+            "torchvision.transforms", ColorJitter=object
+        ),
+        "evo": make_stub("evo"),
+        "evo.tools": make_stub(
+            "evo.tools",
+            file_interface=types.SimpleNamespace(
+                read_tum_trajectory_file=_read_tum_shim
+            ),
+        ),
+    }
+    with reference_imports(stubs):
+        from dataset.bonn import bonn as r_bonn
+        from dataset.neuralRGBD import neuralRGBD as r_nrgbd
+        from dataset.replica import replica as r_replica
+        from dataset.scannetpp import scannetpp as r_spp
+        from dataset.scannetv2 import scannetv2 as r_sv2
+        from dataset.sevenScenes import sevenScenes as r_7s
 
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
-
-    from dataset.bonn import bonn as r_bonn
-    from dataset.neuralRGBD import neuralRGBD as r_nrgbd
-    from dataset.replica import replica as r_replica
-    from dataset.scannetpp import scannetpp as r_spp
-    from dataset.scannetv2 import scannetv2 as r_sv2
-    from dataset.sevenScenes import sevenScenes as r_7s
-
-    return types.SimpleNamespace(
-        bonn=r_bonn, nrgbd=r_nrgbd, replica=r_replica,
-        spp=r_spp, sv2=r_sv2, sevenscenes=r_7s,
-    )
+        yield types.SimpleNamespace(
+            bonn=r_bonn, nrgbd=r_nrgbd, replica=r_replica,
+            spp=r_spp, sv2=r_sv2, sevenscenes=r_7s,
+        )
 
 
 def _ref_first_clip(seq_cls, sample_cls, root, scene, clip_length,

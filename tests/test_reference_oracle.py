@@ -26,23 +26,16 @@ these tests calls into them.
 
 from __future__ import annotations
 
-import sys
 import types
 
 import numpy as np
 import pytest
 
+from refstubs import make_stub, reference_imports
+
 torch = pytest.importorskip("torch")
 
 REFERENCE_ROOT = "/root/reference"
-
-
-def _stub_module(name, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules.setdefault(name, mod)
-    return sys.modules[name]
 
 
 @pytest.fixture(scope="module")
@@ -51,47 +44,52 @@ def ref():
 
     metrics/__init__.py imports eval_pcd (open3d) and eval_camera (evo);
     the stubs satisfy the module-level imports only — no test calls them.
+    Stubbing is hermetic (refstubs.reference_imports): installed with
+    override semantics and fully restored at module teardown, so this
+    file neither inherits nor leaks sys.modules state across the xdist
+    worker it shares with other test files.
     """
-    # open3d: `import open3d as o3d` at eval_pcd.py:4 / icp.py:1
-    _stub_module("open3d")
-    # evo: evo_utils.py:6-15 imports these names at module level
-    _stub_module("evo")
-    _stub_module("evo.main_ape", ape=object())
-    _stub_module("evo.main_rpe", rpe=object())
-    _stub_module("evo.core", sync=object())
-    _stub_module(
-        "evo.core.metrics", PoseRelation=object, Unit=object, APE=object, RPE=object
-    )
-    _stub_module("evo.core.sync")
-    _stub_module(
-        "evo.core.trajectory", PosePath3D=object, PoseTrajectory3D=object
-    )
-    _stub_module("evo.tools", file_interface=object(), plot=object())
+    stubs = {
+        # open3d: `import open3d as o3d` at eval_pcd.py:4 / icp.py:1
+        "open3d": make_stub("open3d"),
+        # evo: evo_utils.py:6-15 imports these names at module level
+        "evo": make_stub("evo"),
+        "evo.main_ape": make_stub("evo.main_ape", ape=object()),
+        "evo.main_rpe": make_stub("evo.main_rpe", rpe=object()),
+        "evo.core": make_stub("evo.core", sync=object()),
+        "evo.core.metrics": make_stub(
+            "evo.core.metrics",
+            PoseRelation=object, Unit=object, APE=object, RPE=object,
+        ),
+        "evo.core.sync": make_stub("evo.core.sync"),
+        "evo.core.trajectory": make_stub(
+            "evo.core.trajectory", PosePath3D=object, PoseTrajectory3D=object
+        ),
+        "evo.tools": make_stub(
+            "evo.tools", file_interface=object(), plot=object()
+        ),
+    }
+    with reference_imports(stubs):
+        import metrics as ref_metrics  # noqa: F401  (executes the package)
+        from metrics import alignment as r_alignment
+        from metrics import camera as r_camera
+        from metrics import eval_depth as r_eval_depth
+        from metrics import eval_normal as r_eval_normal
+        from metrics import geometry as r_geometry
+        from metrics import pcd_alignment as r_pcd_alignment
+        from metrics import utils as r_utils
+        from utils import geometry_utils as r_geometry_utils
 
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
-
-    import metrics as ref_metrics  # noqa: F401  (executes the package)
-    from metrics import alignment as r_alignment
-    from metrics import camera as r_camera
-    from metrics import eval_depth as r_eval_depth
-    from metrics import eval_normal as r_eval_normal
-    from metrics import geometry as r_geometry
-    from metrics import pcd_alignment as r_pcd_alignment
-    from metrics import utils as r_utils
-    from utils import geometry_utils as r_geometry_utils
-
-    ns = types.SimpleNamespace(
-        alignment=r_alignment,
-        camera=r_camera,
-        eval_depth=r_eval_depth,
-        eval_normal=r_eval_normal,
-        geometry=r_geometry,
-        pcd_alignment=r_pcd_alignment,
-        utils=r_utils,
-        geometry_utils=r_geometry_utils,
-    )
-    return ns
+        yield types.SimpleNamespace(
+            alignment=r_alignment,
+            camera=r_camera,
+            eval_depth=r_eval_depth,
+            eval_normal=r_eval_normal,
+            geometry=r_geometry,
+            pcd_alignment=r_pcd_alignment,
+            utils=r_utils,
+            geometry_utils=r_geometry_utils,
+        )
 
 
 # ---------------------------------------------------------------------------
