@@ -38,11 +38,13 @@ import numpy as np
 # the multi-minute first compile.  Host-keyed: foreign-host XLA:CPU AOT
 # entries can SIGILL/SIGSEGV (utils/hostcache.py).
 from unigeo_tpu.utils.hostcache import host_cache_dir
+from unigeo_tpu.utils import warmcache
 
-_CACHE_DIR = host_cache_dir(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.environ.get("UNIGEO_CACHE_DIR") or host_cache_dir(_REPO)
+if os.environ.get("UNIGEO_NO_WARM_SEED", "0") != "1":
+    warmcache.seed(_REPO, _CACHE_DIR)
+warmcache.configure(_CACHE_DIR)
 
 # --- A100 reference derivation (BASELINE.md) -------------------------------
 A100_PEAK_FP16 = 312e12  # A100 SXM fp16/bf16 dense peak, no sparsity
@@ -53,6 +55,24 @@ A100_UTIL = {"low": 0.025, "central": 0.08, "high": 0.25}
 # FLOPs/clip fallback if XLA cost analysis is unavailable: round-1 measured
 # value for the 25×384×512 5-step program (MFU 0.218 × 197 TF/s × 2.067 s).
 FLOPS_PER_CLIP_FALLBACK = 88.8e12
+
+# --- per-stage ceiling model (VERDICT r2 #4: falsifiable in the artifact) --
+# Floor wall-clock per stage at the HEADLINE shape (25×384×512, 5 steps,
+# TPU v5e), from the scan-chained ablation tools (tools/ablate_stage0.py,
+# ablate_unet_step.py, ablate_encoder.py, ablate_decoder.py; ROADMAP "UNet
+# step attribution"): every flop-bearing component pinned at its MEASURED
+# kernel ceiling on this chip — flash attention d=64 ≈62 TF/s (exp-on-VPU
+# bound, intrinsic), transformer FF ≈98 TF/s, convs 110–150 TF/s — and all
+# non-flop glue (pos-embed, transposes, norms) counted as perfectly fused
+# (0 ms).  Components:
+#   encode+clip: VAE conv-FLOP floor ~100 ms + CLIP ViT at ceiling ~92 ms
+#   denoise:     5 × (FF 92.2 + attn 45.7 + temporal-res 29.0 + spatial
+#                convs/io 60.0) ms/step = 5 × 226.9
+#   decode:      measured res-block ceiling leaves ~10% fusion gap on the
+#                446 ms stage → 400 ms
+# Only valid at the headline shape on v5e; the bench skips the ceiling
+# block elsewhere rather than report numbers the model doesn't cover.
+CEILING_MS = {"encode+clip": 192.0, "denoise": 1134.0, "decode": 400.0}
 
 # bf16 peak TFLOP/s per chip by device kind (public spec sheets)
 _PEAK_TFLOPS = {
@@ -99,6 +119,113 @@ def _random_params_like(shapes, seed=0, scale=0.02, dtype=jnp.bfloat16):
 
     vals = gen(jax.random.PRNGKey(seed))
     return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+def _time_single(fn, *args, reps=3, rtt=0.0):
+    """Seconds per dispatch of fn(*args) (runtime ≫ tunnel RTT)."""
+    prog = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    float(prog(*args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(prog(*args))
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - rtt, 1e-9)
+
+
+def _bench_secondary(rtt):
+    """Secondary model-zoo JSON lines (VERDICT r2 #7): the driver artifact
+    pins Aether and one pointmap stack, not just the diffusion flagship.
+    Random-init weights at production sizes — the timings are
+    architecture-bound.  Each line carries "secondary": true; the primary
+    line stays FIRST on stdout for one-line consumers."""
+    # --- Aether: flow-matching DiT + causal 3D VAE (aether_scannetpp.yaml
+    # scale: width 768 / depth 16, 16×384×512 → 4×48×64 latents) ---
+    try:
+        from unigeo_tpu.models.aether import Aether
+
+        t_, h_, w_, steps = 16, 384, 512, 4
+        model = Aether(
+            network_config=dict(width=768, depth=16, num_heads=12, patch=2),
+            vae_config=dict(base_width=64, mults=(1, 2, 4),
+                            temporal_down=(False, True, True), z_channels=8),
+            num_steps=steps, init_height=h_, init_width=w_, init_frames=t_,
+        )
+        bf16 = lambda p: jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+        vae_p, dit_p = bf16(model.vae_params), bf16(model.dit_params)
+        ct, cs, zc = model.vae.ct, model.vae.cs, model.vae.z_channels
+        tl, hl, wl = t_ // ct, h_ // cs, w_ // cs
+        rng = jax.random.PRNGKey(0)
+        frames = jax.random.uniform(rng, (t_, h_, w_, 3), jnp.bfloat16) * 2 - 1
+        cond = jax.random.normal(rng, (tl, hl, wl, zc), jnp.bfloat16)
+        fnoise = jax.random.normal(
+            rng, (tl, hl, wl, model.target_channels), jnp.bfloat16
+        )
+        dep_lat = jax.random.normal(rng, (tl, hl, wl, zc), jnp.bfloat16)
+        enc = _time_single(
+            lambda p, f: model.vae.apply(p, f, method=type(model.vae).encode),
+            vae_p, frames, rtt=rtt)
+        flow = _time_single(
+            lambda p, c, n: model._flow_sample(p, c, n, steps),
+            dit_p, cond, fnoise, rtt=rtt)
+        dec = _time_single(
+            lambda p, z: model.vae.apply(p, z, method=type(model.vae).decode),
+            vae_p, dep_lat, rtt=rtt)
+        clip_s = enc + flow + dec
+        print(json.dumps({
+            "metric": f"frames/sec/chip, Aether {t_}-frame {h_}x{w_} clips, "
+                      f"{steps} flow steps",
+            "value": round(t_ / clip_s, 4),
+            "unit": "frames/sec/chip",
+            "stage_ms": {"encode": round(enc * 1e3, 1),
+                         "flow": round(flow * 1e3, 1),
+                         "decode": round(dec * 1e3, 1)},
+            "secondary": True,
+        }))
+        del model, vae_p, dit_p
+    except Exception as e:  # never let a secondary kill the artifact
+        print(json.dumps({"metric": "Aether bench", "secondary": True,
+                          "error": f"{type(e).__name__}: {e}"[:300]}))
+
+    # --- Spann3R: ring-memory pointmap ViT-L through the FULL adapter
+    # (network + DLT-PnP camera recovery + normals + host conversions —
+    # the per-clip cost the evaluator actually sees) ---
+    try:
+        import numpy as _np
+
+        from unigeo_tpu.models.pointmap.spann3r import Spann3R
+
+        nf, h_, w_ = 20, 384, 512
+        gen = _np.random.default_rng(0)
+        K = _np.array([[0.9 * w_, 0, w_ / 2], [0, 0.9 * w_, h_ / 2],
+                       [0, 0, 1]], _np.float32)
+        data = {
+            "images": gen.uniform(0, 255, (nf, 3, h_, w_)).astype(_np.float32),
+            "intrinsics": _np.repeat(K[None], nf, 0),
+            "scene_name": "bench", "keyview_idx": 0,
+        }
+        model = Spann3R(
+            network_config=dict(enc_width=1024, enc_depth=24, enc_heads=16,
+                                dec_width=768, dec_depth=12, dec_heads=12),
+            init_height=h_, init_width=w_, init_frames=nf,
+        )
+        model.forward(data)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            model.forward(data)
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": f"frames/sec/chip, Spann3R ViT-L {nf}-frame "
+                      f"{h_}x{w_} clips (full adapter)",
+            "value": round(nf / best, 4),
+            "unit": "frames/sec/chip",
+            "clip_ms": round(best * 1e3, 1),
+            "secondary": True,
+        }))
+    except Exception as e:
+        print(json.dumps({"metric": "Spann3R bench", "secondary": True,
+                          "error": f"{type(e).__name__}: {e}"[:300]}))
 
 
 def main():
@@ -305,6 +432,23 @@ def main():
         for k, u in A100_UTIL.items()
     }
 
+    # --- ceiling accounting: achievable fps at the measured per-stage
+    # component ceilings (CEILING_MS provenance above) vs what we attain.
+    ceiling = {}
+    if (t, h, w) == (25, 384, 512) and clips == 1 and stage_ms:
+        ceil_total = sum(CEILING_MS.values())
+        meas_total = sum(stage_ms.values())
+        ceiling = {
+            "ceiling_fps": round(t / (ceil_total / 1e3), 2),
+            "attained_frac": round(ceil_total / meas_total, 3),
+            "attained_frac_per_stage": {
+                k: round(CEILING_MS[k] / stage_ms[k], 3)
+                for k in CEILING_MS
+                if k in stage_ms and stage_ms[k] > 0
+            },
+            "ceiling_ms": CEILING_MS,
+        }
+
     batched = f", {clips} clips/denoise-step" if clips > 1 else ""
     print(
         json.dumps(
@@ -328,11 +472,21 @@ def main():
                 "stage_ms": stage_ms,  # steady-state per-stage wall (B=1)
                 "first_run_s": round(first_run_s, 1),  # compile+weight staging
                 "first_run_breakdown": first_breakdown,
+                **ceiling,
                 "baseline_measured": False,  # no A100 in this environment;
                 # baseline is derived, with its uncertainty carried above
             }
-        )
+        ),
+        flush=True,
     )
+
+    if not small and os.environ.get("BENCH_SECONDARY", "1") != "0":
+        # free the flagship's HBM before the secondary models spin up
+        del pipe
+        import gc
+
+        gc.collect()
+        _bench_secondary(rtt)
 
 
 if __name__ == "__main__":

@@ -27,10 +27,10 @@ jax.config.update("jax_platforms", "cpu")
 # (utils/hostcache.py).
 from unigeo_tpu.utils.hostcache import host_cache_dir  # noqa: E402
 
+from unigeo_tpu.utils.warmcache import configure as _configure_cache  # noqa: E402
+
 _CACHE_DIR = host_cache_dir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+_configure_cache(_CACHE_DIR)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

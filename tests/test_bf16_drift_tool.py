@@ -1,0 +1,62 @@
+"""Machinery smoke for tools/measure_bf16_drift.py (VERDICT r2 #6).
+
+The production-shape bound (25x384x512, 5 steps — where the 0.5% AbsRel
+north-star tolerance is decided) needs the TPU and is run by
+`python tools/measure_bf16_drift.py`, whose result is committed as
+BF16_DRIFT.json and quoted in ROADMAP.md.  This test runs the SAME tool
+end-to-end on the tiny pipeline on CPU so the measurement machinery itself
+(bf16 vs f32 legs, reference postproc, lstsq-aligned AbsRel, JSON
+contract) is exercised by the suite — a broken tool would otherwise only
+be discovered on TPU at the end of a round.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def test_drift_tool_tiny_pipeline(tmp_path, monkeypatch):
+    out = tmp_path / "drift.json"
+    monkeypatch.setenv("DRIFT_TINY", "1")
+    monkeypatch.setenv("DRIFT_STEPS", "2")
+    monkeypatch.setenv("DRIFT_OUT", str(out))
+
+    import tools.measure_bf16_drift as drift
+
+    result = drift.main()
+
+    on_disk = json.loads(out.read_text())
+    assert on_disk["absrel"] == result["absrel"]
+    for key in (
+        "absrel",
+        "absrel_aligned_lstsq",
+        "rel_p99",
+        "rel_max",
+        "delta_1p25",
+        "within_tolerance",
+    ):
+        assert key in result, key
+
+    # Drift of a random-init tiny pipeline between bf16 and f32 must be
+    # small but non-zero: zero would mean the two legs ran the same
+    # program (e.g. a stale jit-cache hit keyed on the mutated pipe), the
+    # failure mode this smoke exists to catch.
+    assert 0.0 < result["absrel"] < 0.5
+    assert result["absrel_aligned_lstsq"] <= result["absrel"] * 2
+    assert 0.5 <= result["delta_1p25"] <= 1.0
+    assert np.isfinite(result["rel_max"])
+
+
+def test_reference_postproc_matches_reference_formula():
+    """reference model/depthcrafter.py:92-97: channel mean -> clip min-max
+    -> 1/(x+0.1), applied over the WHOLE clip jointly."""
+    from tools.measure_bf16_drift import reference_postproc
+
+    rng = np.random.default_rng(0)
+    decoded = rng.uniform(-1, 1, size=(3, 16, 16, 3)).astype(np.float32)
+    got = reference_postproc(decoded)
+    x = decoded.mean(-1)
+    x = (x - x.min()) / (x.max() - x.min())
+    np.testing.assert_allclose(got, 1.0 / (x + 0.1), rtol=1e-6)
+    assert got.shape == (3, 16, 16)

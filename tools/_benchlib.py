@@ -20,16 +20,19 @@ def setup_cache(path: str = None) -> None:
     the same warm-start."""
     import os
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if path is None:
         # host-keyed: foreign-host XLA:CPU AOT entries can SIGILL/SIGSEGV
         from unigeo_tpu.utils.hostcache import host_cache_dir
 
-        path = host_cache_dir(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        path = os.environ.get("UNIGEO_CACHE_DIR") or host_cache_dir(repo)
+    # seed committed warm-start TPU executables (utils/warmcache.py) so the
+    # tools skip the multi-minute flagship compiles on a cold checkout
+    from unigeo_tpu.utils import warmcache
+
+    if os.environ.get("UNIGEO_NO_WARM_SEED", "0") != "1":
+        warmcache.seed(repo, path)
+    warmcache.configure(path)
 
 
 def measure_rtt(reps: int = 5) -> float:
