@@ -130,9 +130,22 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[tuple, np.ndar
     return out
 
 
-def graft_flat_params(flax_params: Any, flat: Dict[tuple, np.ndarray], strict: bool = False):
+def graft_flat_params(
+    flax_params: Any,
+    flat: Dict[tuple, np.ndarray],
+    strict: bool = False,
+    dry_run: bool = False,
+    used: set = None,
+):
     """Replace leaves of a flax tree with converted arrays where paths match
-    (by suffix).  Returns (new_tree, matched, missed)."""
+    (by suffix).  Returns (new_tree, matched, missed).
+
+    dry_run: resolve matches without materializing grafted arrays — the tree
+    may hold jax.ShapeDtypeStruct leaves (full-size key-space dry runs,
+    tests/test_svd_keyspace.py) and ``flat`` may hold zero-strided views.
+    used: optional set collecting the flat keys that matched some leaf, so
+    callers can assert every checkpoint tensor was consumed.
+    """
     import jax
 
     matched, missed = 0, []
@@ -158,7 +171,7 @@ def graft_flat_params(flax_params: Any, flat: Dict[tuple, np.ndarray], strict: b
     def visit(path, leaf):
         nonlocal matched
         names = tuple(str(getattr(k, "key", k)) for k in path)
-        best, best_score, ties, n_same_leaf = None, 0, 0, 0
+        best, best_key, best_score, ties, n_same_leaf = None, None, 0, 0, 0
         for tk, arr in flat.items():
             if not shapes_compatible(tuple(leaf.shape), tuple(arr.shape)):
                 continue
@@ -166,7 +179,7 @@ def graft_flat_params(flax_params: Any, flat: Dict[tuple, np.ndarray], strict: b
             if score >= 1:  # leaf name (kernel/bias/scale/...) agrees
                 n_same_leaf += 1
             if score > best_score:
-                best, best_score, ties = arr, score, 1
+                best, best_key, best_score, ties = arr, tk, score, 1
             elif score == best_score and best is not None:
                 ties += 1
         # Matching discipline: a leaf-name-only match (score 1) is accepted
@@ -182,6 +195,10 @@ def graft_flat_params(flax_params: Any, flat: Dict[tuple, np.ndarray], strict: b
         )
         if ok:
             matched += 1
+            if used is not None:
+                used.add(best_key)
+            if dry_run:
+                return leaf
             return np.asarray(best, leaf.dtype).reshape(leaf.shape)
         missed.append(names)
         return leaf
