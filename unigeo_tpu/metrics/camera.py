@@ -15,6 +15,16 @@ Re-implements exactly the variant the reference invokes
 Quaternion/TUM conversion utilities are provided for API parity with
 metrics/utils.py:169-192 (c2w_to_tumpose / get_tum_poses), though the core
 evaluation works directly on [N,4,4] pose matrices.
+
+Measured behavioral bounds (tests/test_icp_evo_properties.py, the
+evo-absent substitute for an executable oracle): a Sim(3) applied to the
+estimate yields ATE/RPE-trans < 1e-9 and RPE-rot < 1e-5 deg; all three
+numbers are invariant (rtol 1e-6) under Sim(3) of the estimate and under a
+common rigid transform of both trajectories; iid position noise sigma gives
+ATE = sigma*sqrt(3) within 10% at N=500; an exact per-step rotation offset
+theta gives RPE-rot = theta to 1e-6 deg; a per-step translation offset d
+gives RPE-trans = d within 2%; cumulative scale DRIFT (not a Sim(3))
+produces a strictly positive, monotonically growing ATE.
 """
 
 from __future__ import annotations

@@ -108,6 +108,15 @@ def icp_point_to_point(src, dst, threshold: float = 0.1, max_iterations: int = 3
     fixed ``max_iterations`` sweeps (open3d's default cap; its 1e-6 relative
     early-stop is dropped — extra sweeps are idempotent at convergence).
 
+    Measured behavioral bounds (tests/test_icp_evo_properties.py, the
+    open3d-absent substitute for an executable oracle): known SE(3)
+    perturbations up to ~6 deg / 0.05 units are recovered to point-rmse
+    < 1e-3 (measured ~2e-6) under full overlap, ~65% partial overlap, and
+    10-30% gross-outlier injection; the dropped early-stop is free — 31-
+    and 60-sweep runs differ from 30 sweeps by < 1e-5 in the transform
+    entries and < 1e-4 in the moved cloud; zero inliers freezes the
+    transform at identity (no NaNs).
+
     Returns:
         (T [4,4] rigid transform, src_transformed [N,3])
     """
