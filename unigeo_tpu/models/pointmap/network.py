@@ -42,9 +42,26 @@ class PointmapEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, images):
-        """[B, H, W, 3] (≈[-1,1]) → tokens [B, N, width], grid (gh, gw)."""
+        """[B, H, W, 3] (≈[-1,1]) → tokens [B, N, width], grid (gh, gw).
+
+        Any aspect ratio is supported — portrait included.  The reference's
+        DUSt3R lineage handles portrait via a landscape-transpose head
+        wrapper (/root/reference/metrics/misc.py:56-106) because its torch
+        nets bake a landscape token grid; here the patch grid, sin-cos
+        tables, and RoPE positions all derive from the INPUT shape, so a
+        portrait clip is simply another jitted specialization of the same
+        program (XLA recompiles per (H, W) — the TPU-native equivalent of
+        that wrapper).  tests/test_portrait.py pins this end to end.
+        """
         from unigeo_tpu.ops.rope import grid_positions
 
+        h, w = images.shape[1:3]
+        if h % self.patch_size or w % self.patch_size:
+            raise ValueError(
+                f"input {h}x{w} is not divisible by patch_size="
+                f"{self.patch_size}; resize/crop the clip (the reference "
+                "crops to multiples of 16 in its dataset transforms)"
+            )
         tokens, (gh, gw) = PatchEmbed(self.width, self.patch_size, name="patch_embed")(
             images
         )
