@@ -287,6 +287,12 @@ FLOPS_PER_CLIP_FALLBACK = 88.8e12
 # on; the bench skips the ceiling block on any other device kind (ADVICE
 # r3: on v4/v6e the model doesn't cover the hardware and attained_frac
 # could silently exceed 1).
+# Single-chip cross-clip pipelining canNOT beat this sum-of-stages bound:
+# the v5e core executes enqueued programs strictly serially (measured,
+# tools/measure_overlap.py — two independent denoises cost 2.018x one,
+# back-to-back enqueue saves only one host RTT), so clip time is the sum,
+# not max(denoise, encode+decode).  Stage overlap is a multi-chip lever
+# (parallel/staged.py).
 CEILING_MS = {"encode+clip": 192.0, "denoise": 1134.0, "decode": 400.0}
 CEILING_DEVICE_KIND = "TPU v5 lite"
 

@@ -125,6 +125,15 @@ def main():
                 from unigeo_tpu.utils.hostcache import host_cache_dir
 
                 warmcache.seed(REPO, host_cache_dir(REPO))
+    except BaseException:
+        if tmp_dir is not None:
+            # keep the compiled entries: a failed snapshot (e.g. cap
+            # exceeded) must not throw away ~15 min of cold compile — the
+            # operator can re-snapshot from this dir after adjusting flags
+            print(f"KEPT fresh cache dir for retry: {tmp_dir}",
+                  file=sys.stderr)
+            tmp_dir = None
+        raise
     finally:
         os.unlink(log_path)
         if tmp_dir is not None:

@@ -20,9 +20,12 @@ the entry set a cold driver bench touches), and `snapshot()` enforces a
 total-size cap.  The entries are zstd-compressed by JAX already (measured
 gzip ratio 0.99), so the floor is set by the program set itself: the
 flagship denoise/decode/encode/param-gen executables alone are ~125 MB,
-which is why the default cap is 160 MB rather than less — dropping any of
-them would trade ~30-130 s of cold compile for the bytes, failing the
-first_run<60 s requirement the snapshot exists to meet.
+which is why the default cap is 176 MB rather than less — the MEASURED
+minimal looked-up set for the full driver bench (flagship + Aether +
+Spann3R secondaries) is 165.5 MB (r4 prewarm), and dropping any flagship
+program would trade ~30-130 s of cold compile for the bytes, failing the
+first_run<60 s requirement the snapshot exists to meet.  The cap's job is
+preventing unnoticed growth, not hitting a round number.
 
 Seeding copies (never hardlinks) so the committed snapshot can't be
 mutated through the live cache dir (ADVICE r3), and skips snapshots whose
@@ -52,7 +55,7 @@ from typing import Dict, Iterable, Optional, Set
 
 WARM_SUBDIR = os.path.join("warm_cache", "tpu")
 MANIFEST = "MANIFEST.json"
-DEFAULT_CAP_MB = 160.0
+DEFAULT_CAP_MB = 176.0
 
 _LOOKUP_LOG_ENV = "UNIGEO_CACHE_LOG"
 
