@@ -241,6 +241,34 @@ class _Reporter:
 
 
 _REPORT = _Reporter()
+
+
+def _with_retry(fn, what: str, tries: int = 2):
+    """Run fn(); on RESOURCE_EXHAUSTED (busy chip / cache-deserialize OOM,
+    the round-3 failure mode) gc + wait + retry before giving up."""
+    last = None
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # jaxlib XlaRuntimeError isn't importable portably
+            last = e
+            msg = f"{type(e).__name__}: {e}"
+            _REPORT.note(
+                f"{what} failed (attempt {attempt + 1}/{tries})", msg[:200]
+            )
+            retriable = (
+                "RESOURCE_EXHAUSTED" in msg
+                or "Resource exhausted" in msg
+                or "Out of memory" in msg
+            )
+            if not retriable or attempt + 1 == tries:
+                raise
+            import gc
+
+            gc.collect()
+            time.sleep(10.0)
+    raise last
+
 _REPORT.note("import", "jax + backend init")
 
 import jax  # noqa: E402
@@ -321,33 +349,6 @@ def _stage_flops(lowered_compiled) -> float:
         return float(cost.get("flops", 0.0))
     except Exception:
         return 0.0
-
-
-def _with_retry(fn, what: str, tries: int = 2):
-    """Run fn(); on RESOURCE_EXHAUSTED (busy chip / cache-deserialize OOM,
-    the round-3 failure mode) gc + wait + retry before giving up."""
-    last = None
-    for attempt in range(tries):
-        try:
-            return fn()
-        except Exception as e:  # jaxlib XlaRuntimeError isn't importable portably
-            last = e
-            msg = f"{type(e).__name__}: {e}"
-            _REPORT.note(
-                f"{what} failed (attempt {attempt + 1}/{tries})", msg[:200]
-            )
-            retriable = (
-                "RESOURCE_EXHAUSTED" in msg
-                or "Resource exhausted" in msg
-                or "Out of memory" in msg
-            )
-            if not retriable or attempt + 1 == tries:
-                raise
-            import gc
-
-            gc.collect()
-            time.sleep(10.0)
-    raise last
 
 
 def _random_params_like(shapes, seed=0, scale=0.02, dtype=jnp.bfloat16):

@@ -1,0 +1,154 @@
+"""Unit tests for bench.py's failure-proofing (_Reporter): the provisional
+primary line, snapshot backfill rules, and diagnostic path.  The r3 round
+artifact was lost to a silent timeout (VERDICT r3 weak #1); these pin the
+machinery that makes that impossible without paying for TPU runs."""
+
+import importlib.util
+import io
+import json
+import os
+import sys
+
+import pytest
+
+
+def _load_bench(monkeypatch, tmp_path, snapshot=None, env=None):
+    """Import bench.py fresh with a controlled environment, stopping at the
+    jax import (everything under test lives above it)."""
+    for k in ("BENCH_SMALL", "BENCH_FRAMES", "BENCH_H", "BENCH_W",
+              "BENCH_DEADLINE_S"):
+        monkeypatch.delenv(k, raising=False)
+    for k, v in (env or {}).items():
+        monkeypatch.setenv(k, v)
+    # intercept the snapshot path by chdir-ing a copy of bench.py
+    bench_src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
+    head = bench_src.split('_REPORT.note("import"')[0]
+    mod_path = tmp_path / "bench_head.py"
+    mod_path.write_text(
+        head + "\n"  # everything above the jax import: reporter + helpers
+    )
+    if snapshot is not None:
+        (tmp_path / "BENCH_SNAPSHOT.json").write_text(json.dumps(snapshot))
+    spec = importlib.util.spec_from_file_location("bench_head", str(mod_path))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod._REPORT.close()  # stop the module-level heartbeat/watchdog threads
+    # _REPO points at tmp_path so the snapshot file resolves there
+    mod._SNAPSHOT_PATH = str(tmp_path / "BENCH_SNAPSHOT.json")
+    return mod
+
+
+SNAP = {
+    "metric": "frames/sec/chip, DepthCrafter 25-frame 384x512 clips, 5 denoise steps",
+    "value": 12.1,
+    "stage_ms": {"encode+clip": 246.5, "denoise": 1379.9, "decode": 445.9},
+    "baseline_fps": {"low": 2.2, "central": 7.03, "high": 21.97},
+    "baseline_method": "flop-derived",
+}
+
+
+def _fresh_reporter(mod):
+    rep = mod._Reporter()
+    rep.close()  # kill the timer/heartbeat; we drive it synchronously
+    return rep
+
+
+def test_provisional_backfills_snapshot_at_headline(monkeypatch, tmp_path, capsys):
+    mod = _load_bench(monkeypatch, tmp_path, snapshot=SNAP)
+    rep = _fresh_reporter(mod)
+    rep.stage_done("denoise", 1300.0)  # a partial from THIS run
+    rep._on_watchdog()
+    out = capsys.readouterr().out
+    line = json.loads(out.splitlines()[-1])
+    assert line["provisional"] is True
+    assert line["stage_ms"]["denoise"] == 1300.0  # this run wins
+    assert line["stage_ms"]["decode"] == 445.9  # snapshot backfill
+    assert line["stage_ms_source"]["denoise"] == "measured this run"
+    assert line["stage_ms_source"]["decode"] == "BENCH_SNAPSHOT.json"
+    fps = 25 / ((246.5 + 1300.0 + 445.9) / 1e3)
+    assert abs(line["value"] - fps) < 1e-3
+    assert abs(line["vs_baseline"] - fps / 7.03) < 1e-3
+
+
+def test_provisional_ignores_snapshot_off_headline(monkeypatch, tmp_path, capsys):
+    """A BENCH_SMALL / custom-shape run must not report 25-frame snapshot
+    numbers as its own."""
+    mod = _load_bench(monkeypatch, tmp_path, snapshot=SNAP,
+                      env={"BENCH_SMALL": "1"})
+    rep = _fresh_reporter(mod)
+    rep._on_watchdog()
+    line = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert line["provisional"] is True
+    assert line["value"] is None
+    assert "4-frame 64x64" in line["metric"]
+
+
+def test_watchdog_noop_after_primary(monkeypatch, tmp_path, capsys):
+    mod = _load_bench(monkeypatch, tmp_path, snapshot=SNAP)
+    rep = _fresh_reporter(mod)
+    rep.primary({"metric": "m", "value": 1.0})
+    capsys.readouterr()
+    rep._on_watchdog()
+    assert capsys.readouterr().out == ""  # nothing more on stdout
+
+
+def test_primary_writes_snapshot_only_at_headline(monkeypatch, tmp_path, capsys):
+    mod = _load_bench(monkeypatch, tmp_path)
+    rep = _fresh_reporter(mod)
+    payload = dict(SNAP, value=13.0)
+    rep.primary(payload)
+    written = json.load(open(mod._SNAPSHOT_PATH))
+    assert written["value"] == 13.0
+
+    mod2 = _load_bench(monkeypatch, tmp_path, env={"BENCH_FRAMES": "7"})
+    rep2 = _fresh_reporter(mod2)
+    rep2.primary({"metric": "m", "value": 99.0})
+    assert json.load(open(mod2._SNAPSHOT_PATH))["value"] == 13.0  # unchanged
+
+
+def test_diagnostic_emits_line_once(monkeypatch, tmp_path, capsys):
+    mod = _load_bench(monkeypatch, tmp_path, snapshot=SNAP)
+    rep = _fresh_reporter(mod)
+    rep.diagnostic(RuntimeError("RESOURCE_EXHAUSTED: boom"))
+    line = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert line["provisional"] is True
+    assert "RESOURCE_EXHAUSTED" in line["provisional_reason"]
+    # a second failure path must not double-print
+    rep.diagnostic(RuntimeError("again"))
+    assert capsys.readouterr().out == ""
+
+
+def test_provisional_value_falls_back_to_snapshot_value(
+    monkeypatch, tmp_path, capsys
+):
+    """No partials at all (died during import/compile): the snapshot's
+    value is reported, clearly labeled."""
+    mod = _load_bench(monkeypatch, tmp_path,
+                      snapshot={"metric": SNAP["metric"], "value": 12.1,
+                                "vs_baseline": 1.72})
+    rep = _fresh_reporter(mod)
+    rep._on_watchdog()
+    line = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert line["value"] == 12.1
+    assert line["value_source"] == "BENCH_SNAPSHOT.json (previous run)"
+
+
+def test_retry_helper_retries_resource_exhausted(monkeypatch, tmp_path):
+    mod = _load_bench(monkeypatch, tmp_path)
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return "ok"
+
+    monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+    assert mod._with_retry(flaky, "probe") == "ok"
+    assert len(calls) == 2
+
+    def fatal():
+        raise ValueError("not retriable")
+
+    with pytest.raises(ValueError):
+        mod._with_retry(fatal, "probe")
