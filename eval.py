@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--no-data-parallel", dest="data_parallel",
                         action="store_false",
                         help="force the serial clip loop")
+    parser.add_argument("--no-async-metrics", dest="async_metrics",
+                        action="store_false", default=True,
+                        help="score clips on the main thread (debugging)")
     args = parser.parse_args()
 
     cfg = EvalConfig.from_yaml(args.config)
@@ -41,6 +44,7 @@ def main():
         debug_nans=args.debug_nans,
         num_workers=args.num_workers,
         data_parallel=args.data_parallel,
+        async_metrics=args.async_metrics,
     )
     print("Averages:")
     for name, value in manager.calculate_averages().items():

@@ -8,7 +8,12 @@ Improvements over the reference driver:
   * the YAML ``depth_alignment`` knob is honored (eval.py:48-49 reads it and
     then hardcodes lstsq);
   * resumable: sequences already present in the output CSV are skipped;
-  * per-clip latency + frames/sec tracing via unigeo_tpu.utils.profiling.
+  * per-clip latency + frames/sec tracing via unigeo_tpu.utils.profiling;
+  * async metrics: clip i's host-side scoring (GT prep, masked gathers,
+    f64 camera solves, CSV/PLY IO) runs on a worker thread while clip i+1's
+    forward occupies the device — the reference loop (eval.py:33-99) is
+    strictly serial.  Rows, ordering, and resume semantics are identical
+    (one worker, bounded queue, exceptions re-raised on the main thread).
 """
 
 from __future__ import annotations
@@ -89,6 +94,7 @@ def run_evaluation(
     debug_nans: bool = False,
     num_workers: int = 0,
     data_parallel: Optional[bool] = None,
+    async_metrics: bool = True,
 ) -> MetricsManager:
     """The full eval loop: dataset → model → GT → metrics → CSV.
 
@@ -101,6 +107,12 @@ def run_evaluation(
         reference's serial clip loop, eval.py:33, leaves N-1 chips idle).
         None = auto: on when the model supports it and >1 device is visible.
         Per-sequence CSV rows, ordering, and resume semantics are unchanged.
+    async_metrics: score clip i on a single worker thread while clip i+1's
+        forward runs (default on; the queue is bounded at 2 so at most two
+        clips' outputs are held).  CSV content and order are identical to
+        the synchronous path (tests/test_async_metrics.py); worker
+        exceptions re-raise on the main thread.  Disable for debugging
+        (clean stack traces) via --no-async-metrics.
     """
     if debug_nans:
         import jax
@@ -211,6 +223,33 @@ def run_evaluation(
             }
             print(f"  {shown}  [{timer.summary()}]")
 
+    # --- async metrics: ONE worker thread scores clip i while the main
+    # thread drives clip i+1's forward.  A single worker keeps row order
+    # deterministic; the bounded deque caps held outputs; result() re-raises
+    # worker exceptions on the main thread at the next submit/drain.
+    record_q = None
+    record_pool = None
+    if async_metrics:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        record_pool = ThreadPoolExecutor(1, thread_name_prefix="metrics")
+        record_q = collections.deque()
+
+    def _submit_record(seq, data, output) -> None:
+        if record_pool is None:
+            _record(seq, data, output)
+            return
+        while len(record_q) >= 2:
+            record_q.popleft().result()
+        record_q.append(record_pool.submit(_record, seq, data, output))
+
+    def _drain_records() -> None:
+        if record_pool is None:
+            return
+        while record_q:
+            record_q.popleft().result()
+
     pending = []  # [(seq, data)] waiting to fill a dp batch
 
     def _flush() -> None:
@@ -220,7 +259,7 @@ def run_evaluation(
         with timer.clip(num_frames=nframes):
             outputs = model.forward_batch([d for _, d in pending])
         for (seq, data), output in zip(pending, outputs):
-            _record(seq, data, output)
+            _submit_record(seq, data, output)
         pending.clear()
 
     for data_idx, data in stream:
@@ -242,9 +281,14 @@ def run_evaluation(
 
         with timer.clip(num_frames=len(data["images"])):
             output = model.forward(data)
-        _record(seq, data, output)
+        _submit_record(seq, data, output)
 
     _flush()
+    try:
+        _drain_records()
+    finally:
+        if record_pool is not None:
+            record_pool.shutdown(wait=True)
 
     if n_proc > 1:
         from unigeo_tpu.parallel.multihost import is_primary, process_allgather_rows
