@@ -306,9 +306,16 @@ FLOPS_PER_CLIP_FALLBACK = 88.8e12
 # bound, intrinsic), transformer FF ≈98 TF/s, convs 110–150 TF/s — and all
 # non-flop glue (pos-embed, transposes, norms) counted as perfectly fused
 # (0 ms).  Components:
-#   encode+clip: VAE conv-FLOP floor ~100 ms + CLIP ViT at ceiling ~92 ms
+#   encode+clip: VAE encode at its MEASURED per-stage conv rates
+#                (88-150 TF/s by channel width, ablate_encoder.py — the
+#                round-1 "~100 ms conv floor" assumed an unachievable
+#                ~200 TF/s) ≈ 147 ms + CLIP ViT at ceiling ~92 ms → 239
 #   denoise:     5 × (FF 92.2 + attn 45.7 + temporal-res 29.0 + spatial
-#                convs/io 60.0) ms/step = 5 × 226.9
+#                convs/io 60.0) ms/step = 5 × 226.9 (glue-at-zero stays
+#                the CONSERVATIVE convention here: ~25 ms/step of
+#                XLA-fused LN/residual/pos-embed chains are counted as
+#                attainable even though the one hand-fused kernel built
+#                to test that — ops/geglu.py — only matched XLA)
 #   decode:      measured res-block ceiling leaves ~10% fusion gap on the
 #                446 ms stage → 400 ms
 # Only valid at the headline shape on the v5e these numbers were measured
@@ -321,7 +328,7 @@ FLOPS_PER_CLIP_FALLBACK = 88.8e12
 # back-to-back enqueue saves only one host RTT), so clip time is the sum,
 # not max(denoise, encode+decode).  Stage overlap is a multi-chip lever
 # (parallel/staged.py).
-CEILING_MS = {"encode+clip": 192.0, "denoise": 1134.0, "decode": 400.0}
+CEILING_MS = {"encode+clip": 239.0, "denoise": 1134.0, "decode": 400.0}
 CEILING_DEVICE_KIND = "TPU v5 lite"
 
 # bf16 peak TFLOP/s per chip by device kind (public spec sheets)
