@@ -136,7 +136,11 @@ class _Reporter:
         t = int(os.environ.get("BENCH_FRAMES", "4" if small else "25"))
         h = int(os.environ.get("BENCH_H", "64" if small else "384"))
         w = int(os.environ.get("BENCH_W", "64" if small else "512"))
-        headline = not small and (t, h, w) == _HEADLINE
+        headline = (
+            not small
+            and (t, h, w) == _HEADLINE
+            and os.environ.get("BENCH_CLIPS_PER_STEP", "1") == "1"
+        )
         snap = dict(self._snapshot) if headline else {}
         stage_ms = dict(snap.get("stage_ms") or {})
         stage_ms.update(self._partial_stage_ms)
@@ -224,7 +228,7 @@ class _Reporter:
             int(os.environ.get("BENCH_FRAMES", "25")),
             int(os.environ.get("BENCH_H", "384")),
             int(os.environ.get("BENCH_W", "512")),
-        ) != _HEADLINE:
+        ) != _HEADLINE or os.environ.get("BENCH_CLIPS_PER_STEP", "1") != "1":
             return
         try:
             tmp = _SNAPSHOT_PATH + ".tmp"
@@ -240,7 +244,32 @@ class _Reporter:
         self._watchdog.cancel()
 
 
-_REPORT = _Reporter()
+class _NullReporter(_Reporter):
+    """Reporter for LIBRARY imports of bench (tools reuse its helpers):
+    no heartbeat/watchdog threads, no provisional line — an imported bench
+    must never print a fabricated primary JSON line into another tool's
+    stdout (r4 review finding)."""
+
+    def __init__(self):
+        import threading as _t
+
+        self._lock = _t.Lock()
+        self._primary_printed = False
+        self._phase = "library"
+        self._partial_stage_ms = {}
+        self._snapshot = {}
+        self._stop = _t.Event()
+        self._watchdog = _t.Timer(0, lambda: None)  # never started
+
+    def _on_watchdog(self):  # pragma: no cover - never scheduled
+        pass
+
+    def note(self, phase: str, extra: str = ""):
+        with self._lock:
+            self._phase = phase  # keep state for _with_retry; stay silent
+
+
+_REPORT = _Reporter() if __name__ == "__main__" else _NullReporter()
 
 
 def _with_retry(fn, what: str, tries: int = 2):
@@ -358,24 +387,8 @@ def _stage_flops(lowered_compiled) -> float:
         return 0.0
 
 
-def _random_params_like(shapes, seed=0, scale=0.02, dtype=jnp.bfloat16):
-    """Random param tree in ONE cheap-to-compile program: a single flat
-    normal draw sliced into leaves (one RNG op instead of one per leaf)."""
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    sizes = [int(np.prod(s.shape)) for s in leaves]
-    total = sum(sizes)
-    offsets = np.cumsum([0] + sizes[:-1])
-
-    @jax.jit
-    def gen(key):
-        flat = jax.random.normal(key, (total,), dtype) * scale
-        return [
-            jax.lax.dynamic_slice(flat, (int(o),), (n,)).reshape(s.shape)
-            for o, n, s in zip(offsets, sizes, leaves)
-        ]
-
-    vals = gen(jax.random.PRNGKey(seed))
-    return jax.tree_util.tree_unflatten(treedef, vals)
+# shared with the tools/ perf suite (kept importable under the old name)
+from unigeo_tpu.utils.randparams import random_params_like as _random_params_like  # noqa: E402
 
 
 def _time_single(fn, *args, reps=3, rtt=0.0):
@@ -583,16 +596,27 @@ def main():
 
     t0 = time.perf_counter()
     _REPORT.note("params staging")
-    if pipe.params is None:
-        pipe.params = _random_params_like(shapes, dtype=jnp.bfloat16)
-    _with_retry(lambda: _sync(pipe.params), "params staging")
+
+    def _stage_params():
+        if pipe.params is None:
+            pipe.params = _random_params_like(shapes, dtype=jnp.bfloat16)
+        _sync(pipe.params)
+
+    _with_retry(_stage_params, "params staging")
     first_breakdown = {"params_staging_s": round(time.perf_counter() - t0, 1)}
 
     def _first(name, fn):
         _REPORT.note(f"first-run {name}", "compile+warm")
         s0 = time.perf_counter()
-        out = _with_retry(fn, f"first-run {name}")
-        _sync(out)
+
+        def attempt():
+            # errors on tunneled backends surface at the blocking scalar
+            # fetch, not the async enqueue — the retry must cover BOTH
+            out = fn()
+            _sync(out)
+            return out
+
+        out = _with_retry(attempt, f"first-run {name}")
         first_breakdown[name] = round(time.perf_counter() - s0, 1)
         return out
 

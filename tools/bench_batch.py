@@ -30,7 +30,7 @@ def main():
     steps = 5
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "1,2,3").split(",")]
 
-    from bench import _random_params_like  # reuse the cheap param generator
+    from unigeo_tpu.utils.randparams import random_params_like as _random_params_like
     from unigeo_tpu.models.depthcrafter.pipeline import DepthCrafterPipeline
 
     pipe = DepthCrafterPipeline()

@@ -67,7 +67,7 @@ def main():
     w = int(os.environ.get("DRIFT_W", "64" if tiny else "512"))
     steps = int(os.environ.get("DRIFT_STEPS", "5"))
 
-    from bench import _random_params_like  # same param synthesis as the bench
+    from unigeo_tpu.utils.randparams import random_params_like as _random_params_like
 
     if tiny:
         from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline

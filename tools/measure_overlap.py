@@ -23,7 +23,7 @@ programs strictly in order — zero overlap (the 2.4 ms delta is one saved
 host round trip).  Async dispatch hides only host/tunnel latency, which the
 production evaluator already exploits.  Single-chip clip time is therefore
 the SUM of the stage times, and the fps ceiling at current kernel ceilings
-is 25 / 1.726 s = 14.5 fps (bench.py CEILING_MS) — cross-clip stage overlap
+is 25 / 1.773 s = 14.1 fps (bench.py CEILING_MS) — cross-clip stage overlap
 is a MULTI-chip lever (parallel/staged.py PipelinedStageExecutor), not a
 single-chip one.
 """
@@ -47,45 +47,13 @@ warmcache.seed(REPO, _CACHE)
 warmcache.configure(_CACHE)
 
 from unigeo_tpu.models.depthcrafter.pipeline import DepthCrafterPipeline  # noqa: E402
-
-
-def _random_params_like(shapes, seed=0, scale=0.02, dtype=jnp.bfloat16):
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    sizes = [int(np.prod(s.shape)) for s in leaves]
-    offsets = np.cumsum([0] + sizes[:-1])
-    total = sum(sizes)
-
-    @jax.jit
-    def gen(key):
-        flat = jax.random.normal(key, (total,), dtype) * scale
-        return [
-            jax.lax.dynamic_slice(flat, (int(o),), (n,)).reshape(s.shape)
-            for o, n, s in zip(offsets, sizes, leaves)
-        ]
-
-    vals = gen(jax.random.PRNGKey(seed))
-    return jax.tree_util.tree_unflatten(treedef, vals)
+from unigeo_tpu.utils.randparams import random_pipeline_params  # noqa: E402
 
 
 def main():
     t, h, w, steps = 25, 384, 512, 5
     pipe = DepthCrafterPipeline()
-    rng = jax.random.PRNGKey(0)
-    ctx_dim = pipe.unet.cross_attention_dim
-    shapes = {
-        "vae": jax.eval_shape(
-            lambda r: pipe.vae.init(r, jnp.zeros((1, h, w, 3)), 1), rng
-        )["params"],
-        "clip": jax.eval_shape(
-            lambda r: pipe.clip.init(r, jnp.zeros((1, h, w, 3))), rng
-        )["params"],
-        "unet": jax.eval_shape(
-            lambda r: pipe.unet.init(
-                r, jnp.zeros((t, h // 8, w // 8, 8)), jnp.zeros((1,)),
-                jnp.zeros((t, 1, ctx_dim)), jnp.zeros((1, 3)), t), rng
-        )["params"],
-    }
-    pipe.params = _random_params_like(shapes)
+    pipe.params = random_pipeline_params(pipe, t, h, w)
 
     frames = jnp.asarray(
         np.random.default_rng(0).uniform(size=(t, h, w, 3)).astype(np.float32)

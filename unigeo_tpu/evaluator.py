@@ -262,33 +262,37 @@ def run_evaluation(
             _submit_record(seq, data, output)
         pending.clear()
 
-    for data_idx, data in stream:
-        seq = f"{data_idx:03d}_{data['scene_name']}"
-        if resume and manager.has_sequence(seq):
-            continue
-        if strict:
-            from unigeo_tpu.data.sample import validate_sample
-
-            validate_sample(data)
-        if verbose:
-            print(f"processing seq: {seq}")
-
-        if batch_size > 1:
-            pending.append((seq, data))
-            if len(pending) >= batch_size:
-                _flush()
-            continue
-
-        with timer.clip(num_frames=len(data["images"])):
-            output = model.forward(data)
-        _submit_record(seq, data, output)
-
-    _flush()
     try:
+        for data_idx, data in stream:
+            seq = f"{data_idx:03d}_{data['scene_name']}"
+            if resume and manager.has_sequence(seq):
+                continue
+            if strict:
+                from unigeo_tpu.data.sample import validate_sample
+
+                validate_sample(data)
+            if verbose:
+                print(f"processing seq: {seq}")
+
+            if batch_size > 1:
+                pending.append((seq, data))
+                if len(pending) >= batch_size:
+                    _flush()
+                continue
+
+            with timer.clip(num_frames=len(data["images"])):
+                output = model.forward(data)
+            _submit_record(seq, data, output)
+
+        _flush()
         _drain_records()
     finally:
+        # runs on EVERY exit (forward exception, strict-validation failure,
+        # re-raised worker error): cancel queued records and wait out any
+        # in-flight one, so no thread outlives this call and a caller that
+        # catches and retries never races a leftover CSV writer
         if record_pool is not None:
-            record_pool.shutdown(wait=True)
+            record_pool.shutdown(wait=True, cancel_futures=True)
 
     if n_proc > 1:
         from unigeo_tpu.parallel.multihost import is_primary, process_allgather_rows
