@@ -434,3 +434,33 @@ def test_windowed_stitching_rejects_overlap_ge_window(shared_tiny_pipeline):
     with pytest.raises(ValueError, match="overlap"):
         shared_tiny_pipeline(frames, num_inference_steps=1,
                              window_size=4, overlap=4)
+
+
+def test_forward_device_resident_matches_pipeline_call():
+    """The whole-clip-window fast path in DepthCrafter.forward (device-
+    resident decode→postproc, r4) must reproduce the generic
+    pipeline.__call__ route bit-for-bit — same noise draws, same f32 math,
+    only the host round trip removed."""
+    import numpy as np
+
+    from unigeo_tpu.data.synthetic import SyntheticBoxDataset
+    from unigeo_tpu.models.depthcrafter.model import DepthCrafter
+    from unigeo_tpu.models.depthcrafter.pipeline import tiny_pipeline
+
+    t, h, w = 4, 64, 64
+    pipe = tiny_pipeline(height=h, width=w, num_frames=t)
+    model = DepthCrafter(pipeline=pipe, num_inference_steps=2,
+                         init_height=h, init_width=w, init_frames=t)
+    ds = SyntheticBoxDataset(clip_length=t, clip_overlap=0, num_scenes=1,
+                             frames_per_scene=t, render_size=(h, w))
+    data = ds[0]
+
+    fast = model.forward(data)
+
+    frames = model.prepare_input(data)
+    decoded = pipe(frames, num_inference_steps=2, window_size=t,
+                   overlap=model.overlap, seed=model.seed)
+    slow = model._finalize(decoded, data)
+
+    np.testing.assert_array_equal(fast["pred_depths"], slow["pred_depths"])
+    np.testing.assert_array_equal(fast["pred_normals"], slow["pred_normals"])

@@ -104,10 +104,42 @@ class DepthCrafter:
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
         frames = self.prepare_input(data)
+        t, h, w, _ = frames.shape
+        window = self.window_size or t
+        if window >= t:
+            # Whole-clip window (the benchmark configs: window == clip,
+            # model/depthcrafter.py:87): keep the decoded frames DEVICE
+            # RESIDENT into _postprocess.  The generic pipeline.__call__
+            # fetches [T,H,W,3] to host and _finalize re-uploads it — a
+            # ~120 MB round trip per clip that pure host↔device bandwidth
+            # pays for nothing (measured 6.1 s vs 2.1 s device compute over
+            # the tunneled backend).  Same draws, same f32 math, identical
+            # outputs to the __call__ path (pinned in tests).
+            from unigeo_tpu.models.depthcrafter.pipeline import aug_noise_rng
+
+            pipe = self.pipeline
+            if pipe.params is None:
+                raise RuntimeError(
+                    "pipeline has no params; call init_params or load"
+                )
+            rng = jax.random.PRNGKey(self.seed)
+            noise = jax.random.normal(
+                rng, (t, h // 8, w // 8, 4), jnp.float32
+            )
+            aug = (
+                jax.random.normal(aug_noise_rng(rng), (t, h, w, 3), jnp.float32)
+                if pipe.noise_aug_strength > 0
+                else None
+            )
+            out = pipe.run_window_staged(
+                pipe.params, jnp.asarray(frames), noise,
+                self.num_inference_steps, aug_noise=aug,
+            )
+            return self._finalize((out + 1.0) / 2.0, data)
         decoded = self.pipeline(
             frames,
             num_inference_steps=self.num_inference_steps,
-            window_size=self.window_size or len(frames),
+            window_size=window,
             overlap=self.overlap,
             seed=self.seed,
         )
