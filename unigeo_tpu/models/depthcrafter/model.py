@@ -227,5 +227,7 @@ class DepthCrafter:
                 self.num_inference_steps,
                 aug_noise=None if aug is None else jnp.asarray(aug),
             )
-            decoded = (np.asarray(out) + 1.0) / 2.0
+            # device-resident into _postprocess (same as forward: the host
+            # round trip of the decoded frames buys nothing)
+            decoded = (out + 1.0) / 2.0
         return [self._finalize(decoded[i], d) for i, d in enumerate(datas)]
