@@ -95,6 +95,12 @@ def convert_dpt_head(state_dict: Dict[str, Any]) -> Dict[Tuple[str, ...], np.nda
     for name, tensor in state_dict.items():
         arr = tensor.numpy() if hasattr(tensor, "numpy") else np.asarray(tensor)
         stripped = re.sub(r"^(downstream_head\d+\.)?(dpt\.)?", "", name)
+        if "refinenet4.resConfUnit1." in stripped:
+            # torch's FeatureFusionBlock_custom constructs resConfUnit1
+            # unconditionally but the DEEPEST block (refinenet4) never
+            # receives a skip input, so these weights are dead in the torch
+            # forward too — the flax tree simply doesn't instantiate them
+            continue
         arr = convert_dpt_tensor(stripped, arr)
         flat[("dpt",) + rename_dpt_key(stripped)] = arr
     return flat
