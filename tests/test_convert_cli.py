@@ -171,6 +171,26 @@ def test_dust3r_cli_rejects_unknown_keys(tmp_path):
         ])
 
 
+def test_dust3r_cli_flags_unrecognized_toplevel_keys(tmp_path):
+    """Keys the converter would silently drop (outside blocks/heads/skip
+    list) must fail the source-coverage check, not vanish."""
+    rng = np.random.default_rng(3)
+    sd = _dust3r_keyspace(rng)
+    sd["ema_shadow.enc_norm.weight"] = _rand(rng, ENC_W)
+    ckpt = tmp_path / "ema.safetensors"
+    _save_st(sd, ckpt)
+    with pytest.raises(SystemExit, match="unrecognized"):
+        cli.main([
+            "dust3r", "--ckpt", str(ckpt), "--out", str(tmp_path / "o"),
+            "--network-config", json.dumps(TINY_DUST3R_CFG),
+        ])
+
+
+def test_missing_ckpt_flag_is_a_clean_error(tmp_path):
+    with pytest.raises(SystemExit, match="--ckpt"):
+        cli.main(["dust3r", "--out", str(tmp_path / "o")])
+
+
 # ---------------------------------------------------------------------------
 # SVD: tiny UNet through the CLI (UNet-only partial input)
 # ---------------------------------------------------------------------------

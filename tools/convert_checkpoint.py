@@ -8,8 +8,10 @@ Families and their expected inputs:
 
   svd      --unet FILE|DIR  --vae FILE|DIR  --clip FILE|DIR
            (diffusers SVD/DepthCrafter layout: UNet + temporal-decoder VAE
-            + CLIP-H image encoder; any subset converts, missing components
-            stay at random init unless --strict)
+            + CLIP-H image encoder.  Provide all three for a tree the
+            DepthCrafter adapter can load directly; a subset saves a
+            PARTIAL tree {component: params} for manual assembly and the
+            CLI says so loudly)
   dust3r   --ckpt FILE      (DUSt3R_ViTLarge_BaseDecoder_512_dpt-style:
             CroCo backbone + entangled decoders + two DPT heads)
   aether   --transformer FILE|DIR  --vae FILE|DIR  (CogVideoX-style DiT +
@@ -29,10 +31,13 @@ The output of ``--out DIR`` loads directly:
     Dust3R(checkpoint_path=OUT, network_config=...)  # etc.
 
 Conversion is verified structurally at save time: every target leaf must
-be matched (strict mode, default) and every checkpoint tensor consumed —
-the same two-sided zero-miss contract tests/test_svd_keyspace.py proves
-for the full SVD-XT key space.  --allow-partial downgrades both checks to
-reports for experimenting with partial checkpoints.
+be matched and every checkpoint tensor consumed (for dust3r/vda this
+includes a source-key coverage check so keys the converters silently skip
+are surfaced; aether's text-branch keys are documented skips) — the same
+two-sided zero-miss contract tests/test_svd_keyspace.py proves for the
+full SVD-XT key space.  --allow-partial downgrades the checks to reports;
+NOTE that unmatched target leaves are then saved as ZEROS (inspect /
+re-graft manually — do not load such a tree and expect sane outputs).
 """
 
 from __future__ import annotations
@@ -52,21 +57,46 @@ import numpy as np  # noqa: E402
 # state-dict loading
 # ---------------------------------------------------------------------------
 
+def _to_numpy(v):
+    """torch tensor or array → numpy; bf16 (no numpy dtype in torch's
+    .numpy()) widens to f32 so the converters' tensor.numpy() never
+    explodes on modern bf16-saved checkpoints."""
+    if hasattr(v, "detach"):
+        v = v.detach().cpu()
+        if str(v.dtype) in ("torch.bfloat16", "torch.float16"):
+            v = v.float()
+        return v.numpy()
+    return np.asarray(v)
+
+
 def _load_one(path: str):
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         return dict(load_file(path))
+    import pickle
+
     import torch
 
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError:
+        # legacy checkpoints pickle benign extras (DUSt3R stores an
+        # argparse.Namespace under 'args').  weights_only=False executes
+        # arbitrary pickle code — only do it knowingly, and say so.
+        print(
+            f"WARNING: {path} is not weights-only; re-loading with "
+            "weights_only=False (executes pickled code — only convert "
+            "checkpoints you trust)",
+            file=sys.stderr,
+        )
         obj = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("model", "state_dict"):
         if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
             obj = obj[key]
-    return {k: v for k, v in obj.items() if hasattr(v, "shape")}
+    return {
+        k: _to_numpy(v) for k, v in obj.items() if hasattr(v, "shape")
+    }
 
 
 def load_state_dict(path: str):
@@ -115,11 +145,21 @@ def _graft_and_report(target, flat, allow_partial: bool, skipped=()):
         print("unconsumed checkpoint tensors (first 10):", file=sys.stderr)
         for o in orphans[:10]:
             print(f"  {o}", file=sys.stderr)
-    if (missed or orphans) and not allow_partial:
-        raise SystemExit(
-            f"conversion incomplete ({len(missed)} unmatched leaves, "
-            f"{len(orphans)} orphans) — investigate or pass --allow-partial"
-        )
+    if missed or orphans:
+        if not allow_partial:
+            raise SystemExit(
+                f"conversion incomplete ({len(missed)} unmatched leaves, "
+                f"{len(orphans)} orphans) — investigate or pass "
+                "--allow-partial"
+            )
+        if missed:
+            print(
+                "WARNING: --allow-partial saves the unmatched leaves as "
+                "ZEROS (not random init) — the tree is for inspection/"
+                "manual re-grafting, loading it directly will produce "
+                "degenerate outputs",
+                file=sys.stderr,
+            )
     return grafted
 
 
@@ -173,6 +213,12 @@ def convert_svd(args):
                  (("unet", args.unet), ("vae", args.vae), ("clip", args.clip))
                  if p]
         target = {c: target[c] for c in comps}
+        print(
+            f"WARNING: PARTIAL tree (components: {comps}) — "
+            "DepthCrafter(checkpoint_path=...) needs all of unet/vae/clip; "
+            "merge this output into a full tree before loading",
+            file=sys.stderr,
+        )
     return _graft_and_report(target, flat, args.allow_partial)
 
 
@@ -198,6 +244,8 @@ def convert_dust3r(args):
         convert_dust3r_pair,
     )
 
+    if not args.ckpt:
+        raise SystemExit("dust3r: --ckpt is required")
     cfg = dict(DUST3R_512_DPT_CONFIG)
     if args.network_config:
         cfg.update(json.loads(args.network_config))
@@ -223,6 +271,37 @@ def convert_dust3r(args):
         k for k in sd
         if k.startswith(_DUST3R_SKIP_PREFIXES) and k not in consumed
     ]
+    # source-key coverage: the converters silently ignore names they don't
+    # recognize, which would punch a hole in the two-sided check — flag
+    # every source key that is neither converter-recognized nor on the
+    # documented skip list (refinenet4.resConfUnit1 is dead in torch too)
+    import re as _re
+
+    blk = _re.compile(r"^(enc_blocks|dec_blocks|dec_blocks2)\.\d+\.")
+    recognized_top = {
+        "patch_embed.proj.weight", "patch_embed.proj.bias",
+        "enc_norm.weight", "enc_norm.bias", "dec_norm.weight",
+        "dec_norm.bias", "decoder_embed.weight", "decoder_embed.bias",
+    }
+    unrecognized = [
+        k for k in sd
+        if k not in recognized_top
+        and not blk.match(k)
+        and not k.startswith("downstream_head")
+        and not k.startswith(_DUST3R_SKIP_PREFIXES)
+    ]
+    if unrecognized:
+        print(
+            f"{len(unrecognized)} unrecognized source keys (first 10):",
+            file=sys.stderr,
+        )
+        for k in unrecognized[:10]:
+            print(f"  {k}", file=sys.stderr)
+        if not args.allow_partial:
+            raise SystemExit(
+                "unrecognized checkpoint keys — a different architecture "
+                "variant? investigate or pass --allow-partial"
+            )
     return _graft_and_report(target, flat, args.allow_partial, skipped)
 
 
@@ -269,6 +348,12 @@ def convert_aether(args):
         comps = [c for c, p in (("dit", args.transformer), ("vae", args.vae))
                  if p]
         target = {c: target[c] for c in comps}
+        print(
+            f"WARNING: PARTIAL tree (components: {comps}) — "
+            "Aether(checkpoint_path=...) needs both dit and vae; merge "
+            "this output into a full tree before loading",
+            file=sys.stderr,
+        )
     return _graft_and_report(target, flat, args.allow_partial)
 
 
@@ -279,6 +364,8 @@ def convert_vda(args):
     from unigeo_tpu.models.vda import VDANetwork
     from unigeo_tpu.utils.convert_vda import convert_vda_checkpoint
 
+    if not args.ckpt:
+        raise SystemExit("vda: --ckpt is required")
     cfg = json.loads(args.network_config) if args.network_config else {}
     net = VDANetwork(**cfg)
     shapes = jax.eval_shape(
@@ -286,10 +373,25 @@ def convert_vda(args):
         jax.random.PRNGKey(0),
     )
     target = _np_tree_from_shapes(shapes)
-    flat = convert_vda_checkpoint(
-        load_state_dict(args.ckpt),
-        head_prefix=args.head_prefix,
-    )
+    sd = load_state_dict(args.ckpt)
+    flat = convert_vda_checkpoint(sd, head_prefix=args.head_prefix)
+    unrecognized = [
+        k for k in sd
+        if not k.startswith(("pretrained.", args.head_prefix))
+    ]
+    if unrecognized:
+        print(
+            f"{len(unrecognized)} source keys outside "
+            f"pretrained./{args.head_prefix} (first 10):",
+            file=sys.stderr,
+        )
+        for k in unrecognized[:10]:
+            print(f"  {k}", file=sys.stderr)
+        if not args.allow_partial:
+            raise SystemExit(
+                "unrecognized checkpoint keys — wrong --head-prefix? "
+                "investigate or pass --allow-partial"
+            )
     return _graft_and_report(target, flat, args.allow_partial)
 
 
