@@ -115,22 +115,12 @@ class DepthCrafter:
             # pays for nothing (measured 6.1 s vs 2.1 s device compute over
             # the tunneled backend).  Same draws, same f32 math, identical
             # outputs to the __call__ path (pinned in tests).
-            from unigeo_tpu.models.depthcrafter.pipeline import aug_noise_rng
-
             pipe = self.pipeline
             if pipe.params is None:
                 raise RuntimeError(
                     "pipeline has no params; call init_params or load"
                 )
-            rng = jax.random.PRNGKey(self.seed)
-            noise = jax.random.normal(
-                rng, (t, h // 8, w // 8, 4), jnp.float32
-            )
-            aug = (
-                jax.random.normal(aug_noise_rng(rng), (t, h, w, 3), jnp.float32)
-                if pipe.noise_aug_strength > 0
-                else None
-            )
+            noise, aug = pipe.clip_noise(self.seed, t, h, w)
             out = pipe.run_window_staged(
                 pipe.params, jnp.asarray(frames), noise,
                 self.num_inference_steps, aug_noise=aug,
@@ -198,28 +188,21 @@ class DepthCrafter:
         b, t, h, w, _ = frames.shape
         if self.window_size and self.window_size < t:
             return [self.forward(d) for d in datas]  # windowed path is serial
-        rng = jax.random.PRNGKey(self.seed)
+        # the exact per-clip draws the serial path makes (pipeline.clip_noise
+        # is the single source of that contract), broadcast over the batch
+        noise1, aug1 = self.pipeline.clip_noise(self.seed, t, h, w)
         noise = np.broadcast_to(
-            np.asarray(jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)),
-            (b, t, h // 8, w // 8, 4),
+            np.asarray(noise1), (b, t, h // 8, w // 8, 4)
         )
         if len(jax.devices()) > 1:
             decoded = self._get_executor()(frames, seed=self.seed, noise=noise)
         else:
             pipe = self.pipeline
-            aug = None
-            if pipe.noise_aug_strength > 0:
-                # the exact aug noise the serial __call__ draws per clip
-                from unigeo_tpu.models.depthcrafter.pipeline import aug_noise_rng
-
-                aug = np.broadcast_to(
-                    np.asarray(
-                        jax.random.normal(
-                            aug_noise_rng(rng), (t, h, w, 3), jnp.float32
-                        )
-                    ),
-                    (b, t, h, w, 3),
-                )
+            aug = (
+                None
+                if aug1 is None
+                else np.broadcast_to(np.asarray(aug1), (b, t, h, w, 3))
+            )
             out = pipe.run_clips_staged(
                 pipe.params,
                 jnp.asarray(frames),

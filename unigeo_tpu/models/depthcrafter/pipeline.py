@@ -127,6 +127,24 @@ class DepthCrafterPipeline:
 
     # ------------------------------------------------------------------
 
+    def clip_noise(self, seed: int, t: int, h: int, w: int):
+        """(denoise_noise [t,h/8,w/8,4], aug_noise [t,h,w,3] | None) for a
+        whole-clip window at the given seed.
+
+        THE single source of the per-clip draw contract — __call__'s
+        single-window branch, the adapters' device-resident paths
+        (model.py forward / forward_batch), and any executor promising
+        serial-matching numerics must all draw through here; duplicating
+        the PRNG discipline inline is how the paths silently diverge."""
+        rng = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)
+        aug = (
+            jax.random.normal(aug_noise_rng(rng), (t, h, w, 3), jnp.float32)
+            if self.noise_aug_strength > 0
+            else None
+        )
+        return noise, aug
+
     # Three separately-jitted stages: XLA compile time is superlinear in
     # program size and cross-stage fusion buys nothing here, so staging
     # compiles ~4x faster than one monolithic program at identical runtime.
@@ -373,12 +391,7 @@ class DepthCrafterPipeline:
         aug_rng = aug_noise_rng(rng)
 
         if window_size >= t:
-            noise = jax.random.normal(rng, (t, h // 8, w // 8, 4), jnp.float32)
-            aug = (
-                jax.random.normal(aug_rng, (t, h, w, 3), jnp.float32)
-                if self.noise_aug_strength > 0
-                else None
-            )
+            noise, aug = self.clip_noise(seed, t, h, w)
             out = self.run_window_staged(
                 self.params, jnp.asarray(frames), noise, num_inference_steps,
                 aug_noise=aug,
