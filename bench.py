@@ -84,8 +84,13 @@ class _Reporter:
             self._snapshot = {}
         self._stop = threading.Event()
         threading.Thread(target=self._heartbeat, daemon=True).start()
+        # Fire at 80% of the deadline (min 60 s margin at the full 480 s
+        # budget): a fixed -60 s with a 5 s floor made any deadline <= 65 s
+        # (e.g. a BENCH_SMALL smoke) emit a provisional line ~5 s in even on
+        # healthy runs.
         self._watchdog = threading.Timer(
-            max(5.0, _DEADLINE_S - 60.0), self._on_watchdog
+            max(5.0, min(_DEADLINE_S - 60.0, 0.8 * _DEADLINE_S)),
+            self._on_watchdog,
         )
         self._watchdog.daemon = True
         self._watchdog.start()

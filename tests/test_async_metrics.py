@@ -99,6 +99,45 @@ def test_async_overlap_actually_happens(tmp_path, dataset):
     assert record_threads, "metrics worker thread never observed"
 
 
+def test_async_worker_failure_surfaces_before_next_forward(tmp_path):
+    """A finished worker failure must re-raise at the TOP of the loop, not
+    only once the bounded queue forces a result() — otherwise clip i's
+    scoring error costs one-to-two extra full device forwards (ADVICE r4)."""
+    import time
+
+    dataset = SyntheticBoxDataset(
+        clip_length=4, clip_overlap=0, num_scenes=4, frames_per_scene=4,
+        render_size=(48, 64),
+    )
+    cfg = EvalConfig.from_dict(
+        {
+            "dataset": "SyntheticBoxDataset",
+            "model_name": "IdentityModel",
+            "h": 48, "w": 64,
+            "eval_depth": {"metric_names": ["Abs Rel"],
+                           "depth_alignment": "lstsq"},
+        }
+    )
+    calls = []
+
+    class SlowBadModel:
+        def forward(self, data):
+            calls.append(1)
+            time.sleep(0.2)  # lets the (instantly-failing) worker finish
+            out = IdentityModel().forward(data)
+            out["pred_depths"] = "not an array"  # first record explodes
+            return out
+
+    with pytest.raises(Exception):
+        run_evaluation(
+            cfg, save_dir=str(tmp_path), dataset=dataset,
+            model=SlowBadModel(), verbose=False, async_metrics=True,
+        )
+    # forward 1 queues the failing record; forward 2 may start before the
+    # failure lands; forward 3 must NOT run.
+    assert len(calls) <= 2, f"{len(calls)} forwards ran after a worker failure"
+
+
 def test_async_resume_skips_scored(tmp_path, dataset):
     cfg = _cfg()
     run_evaluation(

@@ -71,9 +71,17 @@ def _to_numpy(v):
 
 def _load_one(path: str):
     if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
+        # Load via torch so bf16 tensors survive: safetensors.numpy raises
+        # on bfloat16 (numpy has no bf16 dtype), and real Aether/SVD
+        # exports ship bf16.  _to_numpy widens bf16/f16 → f32.
+        try:
+            from safetensors.torch import load_file as _load_st
+        except ImportError:
+            # torch-less fallback — fine for f32/f16 checkpoints only
+            from safetensors.numpy import load_file as _load_np
 
-        return dict(load_file(path))
+            return dict(_load_np(path))
+        return {k: _to_numpy(v) for k, v in _load_st(path).items()}
     import pickle
 
     import torch

@@ -112,7 +112,10 @@ def main():
             manifest = warmcache.snapshot(
                 REPO, cache_dir,
                 note=args.note or f"prewarm first_run_s={first_run_s}",
-                keep_keys=looked_up or None,
+                # pass the lookup set unconditionally: an EMPTY set must
+                # trip snapshot()'s "recording broken?" guard, not silently
+                # disable pruning and commit an unpruned snapshot
+                keep_keys=looked_up,
                 cap_mb=args.cap_mb,
             )
             print(json.dumps({

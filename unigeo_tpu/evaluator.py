@@ -244,6 +244,13 @@ def run_evaluation(
             record_q.popleft().result()
         record_q.append(record_pool.submit(_record, seq, data, output))
 
+    def _check_worker() -> None:
+        """Re-raise a finished worker failure BEFORE the next forward —
+        otherwise clip i's scoring error only surfaces after clip i+1's
+        full device forward (wasted minutes on the tunneled backend)."""
+        while record_q and record_q[0].done():
+            record_q.popleft().result()
+
     def _drain_records() -> None:
         if record_pool is None:
             return
@@ -264,6 +271,8 @@ def run_evaluation(
 
     try:
         for data_idx, data in stream:
+            if record_q is not None:
+                _check_worker()
             seq = f"{data_idx:03d}_{data['scene_name']}"
             if resume and manager.has_sequence(seq):
                 continue
