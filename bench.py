@@ -482,6 +482,7 @@ def _bench_secondary(rtt):
         _REPORT.note("secondary Spann3R")
         import numpy as _np
 
+        from unigeo_tpu.models.pointmap import adapter as _adapter
         from unigeo_tpu.models.pointmap.spann3r import Spann3R
 
         nf, h_, w_ = 20, 384, 512
@@ -493,10 +494,11 @@ def _bench_secondary(rtt):
             "intrinsics": _np.repeat(K[None], nf, 0),
             "scene_name": "bench", "keyview_idx": 0,
         }
+        vitl = dict(enc_width=1024, enc_depth=24, enc_heads=16,
+                    dec_width=768, dec_depth=12, dec_heads=12)
         model = Spann3R(
-            network_config=dict(enc_width=1024, enc_depth=24, enc_heads=16,
-                                dec_width=768, dec_depth=12, dec_heads=12),
-            init_height=h_, init_width=w_, init_frames=nf,
+            network_config=vitl, init_height=h_, init_width=w_,
+            init_frames=nf, compute_dtype="bfloat16",  # fp16-reference mode
         )
         model.forward(data)  # compile + warm
         best = float("inf")
@@ -504,12 +506,79 @@ def _bench_secondary(rtt):
             t0 = time.perf_counter()
             model.forward(data)
             best = min(best, time.perf_counter() - t0)
+
+        # stage split (VERDICT r4 #1): upload / fused device program
+        # (network + camera + normals) / download — plus the network alone,
+        # so camera+postproc = program − network is attributable.
+        raw = _adapter.raw_clip(data)
+        probe = jax.jit(lambda x: jnp.float32(x.reshape(-1)[0]))
+
+        def _t(fn, warm=True, reps=3):
+            if warm:
+                fn()
+            ts = []
+            for _ in range(reps):
+                s0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - s0)
+            return max(min(ts) - rtt, 0.0) * 1e3
+
+        upload_ms = _t(lambda: float(probe(jax.device_put(raw))))
+        raw_dev = jax.device_put(raw)
+        program_ms = _t(lambda: float(
+            model._forward_full(model.params, raw_dev)["pred_poses"][0, 0, 0]))
+        net_sum = jax.jit(lambda p, f: jnp.float32(
+            jnp.sum(model.network.apply(p, f)[0].astype(jnp.float32))))
+        frames_dev = jax.device_put(
+            (_np.moveaxis(raw, 1, -1) / 255.0).astype(jnp.bfloat16))
+        network_ms = _t(lambda: float(net_sum(model.params, frames_dev)))
+        download_ms = max(best * 1e3 - upload_ms - program_ms, 0.0)
+
+        # analytic network FLOPs (XLA cost_analysis does NOT multiply
+        # scanned bodies by trip count, so it reports ~1/depth the truth
+        # for these scanned ViTs): per token-layer 24C² + 4·S·C FLOPs
+        # (qkv/proj/mlp matmuls + attention), cross-attn adds kv/q/out
+        # projections and S_ctx-wide attention.
+        n_tok = (h_ // 16) * (w_ // 16)
+        ew, ed = vitl["enc_width"], vitl["enc_depth"]
+        dw, dd = vitl["dec_width"], vitl["dec_depth"]
+        ctx = n_tok * (1 + 4)  # self projection + 4 ring-memory frames
+        enc_fl = ed * nf * n_tok * (24 * ew**2 + 4 * n_tok * ew)
+        dec_fl = dd * nf * n_tok * (
+            12 * dw**2 + 4 * n_tok * dw  # self attn + mlp
+            + 4 * dw**2 + 4 * ctx * dw   # cross q/out + attention
+        ) + dd * nf * ctx * 4 * dw**2     # cross kv over context tokens
+        flops = enc_fl + dec_fl
+        mfu = (flops / (network_ms / 1e3)) / _peak_flops() if network_ms else 0.0
+
+        # optional f16-transfer variant (same params; halves output IO —
+        # the dominant cost on the ~25-40 MB/s dev tunnel)
+        f16_ms = None
+        if _remaining() > 150:  # first run pays a fresh fused-program compile
+            model16 = Spann3R(
+                network_config=vitl, init_height=h_, init_width=w_,
+                init_frames=nf, compute_dtype="bfloat16",
+                transfer_dtype="float16", seed=0,
+            )
+            model16.params = model.params
+            f16_ms = _t(lambda: model16.forward(data))
         print(json.dumps({
             "metric": f"frames/sec/chip, Spann3R ViT-L {nf}-frame "
                       f"{h_}x{w_} clips (full adapter)",
             "value": round(nf / best, 4),
             "unit": "frames/sec/chip",
             "clip_ms": round(best * 1e3, 1),
+            "stage_ms": {"upload": round(upload_ms, 1),
+                         "device_program": round(program_ms, 1),
+                         "network_only": round(network_ms, 1),
+                         "camera+normals": round(program_ms - network_ms, 1),
+                         "download+host": round(download_ms, 1)},
+            "flops_per_clip_tf": round(flops / 1e12, 1),
+            "flops_method": "analytic (scan bodies invisible to XLA cost analysis)",
+            "mfu_network": round(mfu, 4),
+            **({"clip_ms_f16_transfers": round(f16_ms, 1),
+                "fps_f16_transfers": round(nf / (f16_ms / 1e3), 4)}
+               if f16_ms else {}),
             "secondary": True,
         }))
     except Exception as e:

@@ -36,6 +36,42 @@ def test_spann3r_contract(clip):
     assert np.allclose(R @ np.swapaxes(R, 1, 2), np.eye(3)[None], atol=1e-3)
 
 
+def test_spann3r_f16_transfer_matches_f32(clip):
+    """transfer_dtype='float16' only downcasts the device→host hop of the
+    bulky fields (pointmap/adapter.py): same seed must agree to f16 eps and
+    depths/poses must be BIT-identical (they always travel f32)."""
+    kw = dict(network_config=tiny_spann3r_config(),
+              init_height=64, init_width=64, init_frames=2)
+    out32 = Spann3R(**kw).forward(clip)
+    out16 = Spann3R(transfer_dtype="float16", **kw).forward(clip)
+    for k in out16:
+        assert out16[k].dtype == np.float32, k
+    np.testing.assert_array_equal(out16["pred_depths"], out32["pred_depths"])
+    np.testing.assert_array_equal(out16["pred_poses"], out32["pred_poses"])
+    scale = np.abs(out32["pred_world_pts"]).max()
+    assert np.abs(out16["pred_world_pts"] - out32["pred_world_pts"]).max() \
+        <= 1e-3 * scale
+    assert np.abs(out16["pred_normals"] - out32["pred_normals"]).max() <= 2e-3
+
+
+def test_spann3r_bf16_compute(clip):
+    """compute_dtype='bfloat16' (the fp16-reference mode): f32 outputs, the
+    contract invariants hold, and predictions track the f32 path to bf16
+    tolerance (random tiny net — wide bound, just pins wiring)."""
+    kw = dict(network_config=tiny_spann3r_config(),
+              init_height=64, init_width=64, init_frames=2)
+    out32 = Spann3R(**kw).forward(clip)
+    out16 = Spann3R(compute_dtype="bfloat16", **kw).forward(clip)
+    for k in out16:
+        assert out16[k].dtype == np.float32, k
+        assert np.isfinite(out16[k]).all(), k
+    R = out16["pred_poses"][:, :3, :3]
+    assert np.allclose(R @ np.swapaxes(R, 1, 2), np.eye(3)[None], atol=1e-3)
+    scale = np.abs(out32["pred_world_pts"]).max()
+    assert np.abs(out16["pred_world_pts"] - out32["pred_world_pts"]).max() \
+        <= 0.1 * scale
+
+
 def test_cut3r_contract(clip):
     model = Cut3R(
         network_config=tiny_cut3r_config(),

@@ -59,12 +59,23 @@ def _dlt_pose(pts3d, pts2d_norm, weights):
     """Weighted DLT for the projection P = [R|t] given normalized pixels.
 
     pts3d [N,3]; pts2d_norm [N,2] = K^{-1}-normalized pixel coords;
-    weights [N].  Solves for the 12 entries of P (up to scale) from the
-    2N×12 homogeneous system, then projects onto SE(3) by SVD
-    orthogonalization.
+    weights [N].  Solves for the 12 entries of P (up to scale) as the
+    smallest eigenvector of the 12×12 normal matrix AᵀA — one MXU matmul +
+    a tiny eigh — instead of an SVD of the 2N×12 system (which at 384×512
+    is a [393216, 12] SVD per frame per IRLS pass: the measured hotspot of
+    the whole Spann3R adapter on v5e).  Conditioning of the squared system
+    is restored by Hartley normalization of the 3D points (centroid → 0,
+    RMS radius → √3) before building the system; the pose is un-normalized
+    after.
     """
     n = pts3d.shape[0]
-    X = jnp.concatenate([pts3d, jnp.ones((n, 1))], axis=-1)  # [N,4]
+    # Hartley normalization (preconditions AᵀA; exact — undone below)
+    centroid = jnp.mean(pts3d, axis=0)
+    d = pts3d - centroid
+    scale = jnp.sqrt(3.0) / jnp.maximum(
+        jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1))), 1e-12
+    )
+    X = jnp.concatenate([d * scale, jnp.ones((n, 1))], axis=-1)  # [N,4]
     zeros = jnp.zeros((n, 4))
     u = pts2d_norm[:, :1]
     v = pts2d_norm[:, 1:2]
@@ -72,12 +83,22 @@ def _dlt_pose(pts3d, pts2d_norm, weights):
     rows_v = jnp.concatenate([zeros, X, -v * X], axis=-1)
     A = jnp.concatenate([rows_u * weights[:, None], rows_v * weights[:, None]], axis=0)
 
-    # smallest right-singular vector of A
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-    p = Vt[-1].reshape(3, 4)
+    # smallest eigenvector of the normal matrix = smallest right-singular
+    # vector of A (A is Hartley-preconditioned, so f32 squaring is safe)
+    M = A.T @ A  # [12, 12]
+    _, eigvecs = jnp.linalg.eigh(M)
+    p = eigvecs[:, 0].reshape(3, 4)
+    # un-normalize: P maps raw X via P' ∘ [s·I, −s·c; 0 1]
+    T_norm = (
+        jnp.eye(4)
+        .at[:3, :3].multiply(scale)
+        .at[:3, 3].set(-scale * centroid)
+    )
+    p = p @ T_norm
 
     # fix sign: depths should be mostly positive
-    depths = (X @ p[2])[: n]
+    X_raw = jnp.concatenate([pts3d, jnp.ones((n, 1))], axis=-1)
+    depths = X_raw @ p[2]
     p = jnp.where(jnp.sum(jnp.sign(depths)) < 0, -p, p)
 
     R_raw = p[:, :3]
@@ -128,12 +149,15 @@ def solve_pnp_batch(pts3d, intrinsics, irls_iters: int = 2):
     return jax.vmap(solve_frame)(pts3d)
 
 
+@jax.jit
 def solve_depth_and_camera_from_pointmaps(pts3d):
     """World pointmaps [Nf, H, W, 3] → (cam_pts [Nf,H,W,3], extrinsics
     [Nf,4,4] w2c, intrinsics [Nf,3,3]).
 
     Focal from frame 0 (Weiszfeld), shared across frames; batched DLT-PnP
-    for the poses (reference: metrics/utils.py:120-160).
+    for the poses (reference: metrics/utils.py:120-160).  Jitted as ONE
+    program: the previous eager glue cost ~1 s of per-op dispatch over the
+    tunneled backend (tools/ablate_spann3r.py).
     """
     pts3d = jnp.asarray(pts3d)
     nf, h, w, _ = pts3d.shape

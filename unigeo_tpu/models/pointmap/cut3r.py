@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unigeo_tpu import coords
 from unigeo_tpu.models.camera_solver import estimate_focal_weiszfeld
+from unigeo_tpu.models.pointmap import adapter
 from unigeo_tpu.models.pointmap.network import (
     PointmapDecoder,
     PointmapEncoder,
@@ -160,6 +160,8 @@ class Cut3R:
         init_height: int = 384,
         init_width: int = 512,
         init_frames: int = 2,
+        compute_dtype: Optional[str] = None,  # "bfloat16" = fp16-reference mode
+        transfer_dtype: Optional[str] = None,  # "float16" halves output IO
         # reference-config compat (accepted, unused)
         model_dir: Optional[str] = None,
         ckpt_path: Optional[str] = None,
@@ -177,26 +179,36 @@ class Cut3R:
             )
         self._forward = jax.jit(lambda p, f: self.network.apply(p, f))
 
+        tdt = adapter.resolve_transfer_dtype(transfer_dtype)
+        cdt = adapter.resolve_compute_dtype(compute_dtype)
+        self.params = adapter.cast_params(self.params, cdt)
+
+        def _full(p, raw):
+            frames = adapter.frames_from_raw(raw)
+            if cdt is not None:
+                frames = frames.astype(cdt)
+            out = self.network.apply(p, frames)
+            out = {k: v.astype(jnp.float32) for k, v in out.items()}  # f32 geometry
+            normals_gl = surface_normals_from_points(
+                out["self_pts"]
+            ) * jnp.asarray(adapter.OPENGL_FLIP, out["self_pts"].dtype)
+            return adapter.downcast_for_transfer({
+                "pred_world_pts": out["world_pts"],
+                "pred_depths": out["self_pts"][..., 2],
+                "pred_normals": normals_gl,
+                "pred_poses": pose_encoding_to_camera(out["pose_enc"]),  # c2w CV
+                "pred_conf": out["conf"],
+                "pred_focal": estimate_focal_weiszfeld(out["self_pts"][0]),
+            }, tdt)
+
+        # one device-resident program per clip (see pointmap/adapter.py)
+        self._forward_full = jax.jit(_full)
+
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
-        frames = (
-            np.moveaxis(np.asarray(data["images"]), 1, -1).astype(np.float32) / 255.0
-        )
-        out = self._forward(self.params, jnp.asarray(frames))
-
-        poses = np.asarray(pose_encoding_to_camera(out["pose_enc"]))  # c2w CV
-        depths = np.asarray(out["self_pts"][..., 2])
-        focal = float(estimate_focal_weiszfeld(out["self_pts"][0]))
-        normals_cv = np.asarray(surface_normals_from_points(out["self_pts"]))
-        normals_gl = normals_cv * np.asarray([1.0, -1.0, -1.0], np.float32)
-
-        return {
-            "pred_world_pts": np.asarray(out["world_pts"]),
-            "pred_depths": depths,
-            "pred_normals": normals_gl,
-            "pred_poses": poses.astype(np.float32),
-            "pred_conf": np.asarray(out["conf"]),
-            "pred_focal": focal,
-        }
+        raw = adapter.raw_clip(data)
+        host = adapter.fetch_outputs(self._forward_full(self.params, raw))
+        host["pred_focal"] = float(host["pred_focal"])
+        return host
 
 
 def tiny_cut3r_config():

@@ -34,8 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unigeo_tpu import coords
-from unigeo_tpu.models.camera_solver import solve_depth_and_camera_from_pointmaps
+from unigeo_tpu.models.pointmap import adapter
 from unigeo_tpu.models.pointmap.network import (
     PointmapEncoder,
     PointmapHead,
@@ -43,7 +42,6 @@ from unigeo_tpu.models.pointmap.network import (
     normalize_images,
 )
 from unigeo_tpu.models.vit import ViTBlock
-from unigeo_tpu.ops.normals import surface_normals_from_points
 from unigeo_tpu.registry import MODELS
 
 
@@ -194,6 +192,8 @@ class Dust3R:
         seed: int = 0,
         init_height: int = 384,
         init_width: int = 512,
+        compute_dtype: Optional[str] = None,  # "bfloat16" = fp16-reference mode
+        transfer_dtype: Optional[str] = None,  # "float16" halves output IO
         # reference-config compat (accepted, unused)
         model_dir: Optional[str] = None,
         ckpt_path: Optional[str] = None,
@@ -215,39 +215,37 @@ class Dust3R:
 
         self._forward = jax.jit(_pairs)
 
+        tdt = adapter.resolve_transfer_dtype(transfer_dtype)
+        cdt = adapter.resolve_compute_dtype(compute_dtype)
+        self.params = adapter.cast_params(self.params, cdt)
+
+        def _full(p, raw):
+            frames = adapter.frames_from_raw(raw)
+            if cdt is not None:
+                frames = frames.astype(cdt)
+            pts1, pts2, conf1, conf2 = self.network.apply(
+                p, frames[:1], frames[1:]
+            )
+            pts1, pts2 = pts1.astype(jnp.float32), pts2.astype(jnp.float32)
+            conf1, conf2 = conf1.astype(jnp.float32), conf2.astype(jnp.float32)
+            # frame 0's map: average the per-pair view-1 predictions (all
+            # estimates of the same keyview map); frames 1..T-1 from head2.
+            pts = jnp.concatenate([jnp.mean(pts1, axis=0, keepdims=True), pts2])
+            conf = jnp.concatenate(
+                [jnp.mean(conf1, axis=0, keepdims=True), conf2]
+            )
+            return adapter.downcast_for_transfer(
+                adapter.outputs_from_world_pts(pts, conf), tdt
+            )
+
+        # one device-resident program per clip (see pointmap/adapter.py)
+        self._forward_full = jax.jit(_full)
+
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
-        frames = (
-            np.moveaxis(np.asarray(data["images"]), 1, -1).astype(np.float32)
-            / 255.0
-        )
-        t = frames.shape[0]
-        if t < 2:  # degenerate single-frame clip: pair the frame with itself
-            frames = np.concatenate([frames, frames], axis=0)
-            t = 2
-        ref = jnp.asarray(frames[:1])
-        others = jnp.asarray(frames[1:])
-        pts1, pts2, conf1, conf2 = self._forward(self.params, ref, others)
-
-        # frame 0's map: average the per-pair view-1 predictions (they are
-        # all estimates of the same keyview map); frames 1..T-1 from head2.
-        pts = jnp.concatenate([jnp.mean(pts1, axis=0, keepdims=True), pts2])
-        conf = jnp.concatenate(
-            [jnp.mean(conf1, axis=0, keepdims=True), conf2]
-        )
-
-        cam_pts, extrinsics, _ = solve_depth_and_camera_from_pointmaps(pts)
-        poses = coords.se3_inverse(np.asarray(extrinsics))  # c2w (OpenCV)
-        depths = np.asarray(cam_pts[..., 2])
-        normals_cv = np.asarray(surface_normals_from_points(cam_pts))
-        normals_gl = normals_cv * np.asarray([1.0, -1.0, -1.0], np.float32)
-
-        return {
-            "pred_world_pts": np.asarray(pts),
-            "pred_depths": depths,
-            "pred_normals": normals_gl,
-            "pred_poses": poses.astype(np.float32),
-            "pred_conf": np.asarray(conf),
-        }
+        raw = adapter.raw_clip(data)
+        if raw.shape[0] < 2:  # degenerate 1-frame clip: pair with itself
+            raw = np.concatenate([raw, raw], axis=0)
+        return adapter.fetch_outputs(self._forward_full(self.params, raw))
 
 
 def tiny_dust3r_config():

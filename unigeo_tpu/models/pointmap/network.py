@@ -68,7 +68,11 @@ class PointmapEncoder(nn.Module):
         freq = _rope_freq(self.pos_embed)
         pos = None
         if freq is None:
-            tokens = tokens + sincos_2d_pos_embed(self.width, gh, gw)[None]
+            # astype keeps a bf16 compute path bf16 (the f32 table would
+            # silently promote every downstream matmul)
+            tokens = tokens + sincos_2d_pos_embed(self.width, gh, gw).astype(
+                tokens.dtype
+            )[None]
         else:
             pos = grid_positions(gh, gw)[None]
         tokens = ScannedViTBlocks(

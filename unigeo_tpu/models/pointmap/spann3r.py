@@ -24,15 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unigeo_tpu import coords
-from unigeo_tpu.models.camera_solver import solve_depth_and_camera_from_pointmaps
+from unigeo_tpu.models.pointmap import adapter
 from unigeo_tpu.models.pointmap.network import (
     PointmapDecoder,
     PointmapEncoder,
     PointmapHead,
     normalize_images,
 )
-from unigeo_tpu.ops.normals import surface_normals_from_points
 from unigeo_tpu.registry import MODELS
 
 
@@ -56,7 +54,9 @@ class _MemoryStep(nn.Module):
         # empty ring slots are ATTENTION-masked — zero values alone would
         # still soak up softmax mass and dilute early frames' cross-attention
         self_ctx = nn.Dense(self.dec_width, name="memory_proj")(tok)
-        ctx = jnp.concatenate([self_ctx, mem * mem_mask[:, None]], axis=0)
+        ctx = jnp.concatenate(
+            [self_ctx, mem * mem_mask.astype(mem.dtype)[:, None]], axis=0
+        )
         ctx_mask = jnp.concatenate([jnp.ones((n_tok,)), mem_mask], axis=0)
         out = PointmapDecoder(
             self.dec_width, self.dec_depth, self.dec_heads,
@@ -155,6 +155,8 @@ class Spann3R:
         init_height: int = 384,
         init_width: int = 512,
         init_frames: int = 2,
+        compute_dtype: Optional[str] = None,  # "bfloat16" = fp16-reference mode
+        transfer_dtype: Optional[str] = None,  # "float16" halves output IO
         # reference-config compat (accepted, unused)
         model_dir: Optional[str] = None,
         ckpt_path: Optional[str] = None,
@@ -175,25 +177,30 @@ class Spann3R:
             lambda p, f: self.network.apply(p, f)
         )
 
+        tdt = adapter.resolve_transfer_dtype(transfer_dtype)
+        cdt = adapter.resolve_compute_dtype(compute_dtype)
+        self.params = adapter.cast_params(self.params, cdt)
+
+        def _full(p, raw):
+            frames = adapter.frames_from_raw(raw)
+            if cdt is not None:
+                frames = frames.astype(cdt)
+            pts, conf = self.network.apply(p, frames)
+            pts = pts.astype(jnp.float32)  # geometry always runs f32
+            conf = conf.astype(jnp.float32)
+            return adapter.downcast_for_transfer(
+                adapter.outputs_from_world_pts(pts, conf), tdt
+            )
+
+        # ONE compiled program per clip: normalize → network → camera
+        # recovery → normals → poses, all device-resident
+        # (tools/ablate_spann3r.py: the split pipeline cost 6.1 s/clip,
+        # ~0.4 s of it network).
+        self._forward_full = jax.jit(_full)
+
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
-        frames = (
-            np.moveaxis(np.asarray(data["images"]), 1, -1).astype(np.float32) / 255.0
-        )
-        pts, conf = self._forward(self.params, jnp.asarray(frames))
-
-        cam_pts, extrinsics, _ = solve_depth_and_camera_from_pointmaps(pts)
-        poses = coords.se3_inverse(np.asarray(extrinsics))  # c2w (OpenCV)
-        depths = np.asarray(cam_pts[..., 2])
-        normals_cv = np.asarray(surface_normals_from_points(cam_pts))
-        normals_gl = normals_cv * np.asarray([1.0, -1.0, -1.0], np.float32)
-
-        return {
-            "pred_world_pts": np.asarray(pts),
-            "pred_depths": depths,
-            "pred_normals": normals_gl,
-            "pred_poses": poses.astype(np.float32),
-            "pred_conf": np.asarray(conf),
-        }
+        raw = adapter.raw_clip(data)
+        return adapter.fetch_outputs(self._forward_full(self.params, raw))
 
 
 def tiny_spann3r_config():
