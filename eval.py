@@ -32,9 +32,28 @@ def main():
     parser.add_argument("--no-async-metrics", dest="async_metrics",
                         action="store_false", default=True,
                         help="score clips on the main thread (debugging)")
+    parser.add_argument("--validate-root", action="store_true",
+                        help="preflight the dataset layout (files, depth "
+                             "scale, pose rigidity, intrinsics) and exit")
     args = parser.parse_args()
 
     cfg = EvalConfig.from_yaml(args.config)
+    if args.validate_root:
+        import sys
+
+        from unigeo_tpu.data.preflight import format_report, validate_root
+        from unigeo_tpu.registry import get_dataset_cls
+
+        try:
+            dataset = get_dataset_cls(cfg.dataset)(**cfg.dataset_kwargs)
+        except Exception as e:
+            print(f"preflight: {cfg.dataset} — FAILED\n  ✗ construct: "
+                  f"{type(e).__name__}: {e}")
+            sys.exit(1)
+        result = validate_root(dataset)
+        print(format_report(result))
+        sys.exit(0 if result["ok"] else 1)
+
     manager = run_evaluation(
         cfg,
         save_dir=args.output,
