@@ -92,3 +92,27 @@ def test_vda_registered():
     from unigeo_tpu.registry import get_model_cls
 
     assert get_model_cls("VideoDepthAnything") is VideoDepthAnything
+
+
+def test_vda_odd_token_grid_production_shape():
+    """384×512 with DINOv2 patch 14 → 27×36 token grid: the DPT pyramid's
+    stride-2 down + ×2 up lands on 28 rows vs the 27-row skip.  The fusion
+    block must resize to the skip's grid (caught live by tools/bench_zoo.py
+    round 5 — the production vda_scannetpp.yaml config crashed)."""
+    model = VideoDepthAnything(
+        network_config=dict(width=64, depth=4, num_heads=2,
+                            temporal_heads=2, patch_size=14),
+        init_height=384, init_width=512, init_frames=2,
+    )
+    K = np.array([[460.0, 0, 256], [0, 460.0, 192], [0, 0, 1]], np.float32)
+    data = {
+        "images": np.random.default_rng(0).uniform(
+            0, 255, (2, 3, 384, 512)).astype(np.float32),
+        "intrinsics": np.stack([K] * 2),
+        "scene_name": "t", "keyview_idx": 0,
+    }
+    out = model.forward(data)
+    assert out["pred_depths"].shape == (2, 384, 512)
+    assert out["pred_normals"].shape == (2, 384, 512, 3)
+    for v in out.values():
+        assert np.isfinite(v).all()

@@ -135,6 +135,43 @@ def main():
     aligned = a * d16 + b
     absrel_aligned = float(np.mean(np.abs(aligned - d32) / d32))
 
+    # --- metric-level budget (VERDICT r4 #3): score BOTH legs against the
+    # SAME fixed GT through the real metrics suite and report the SHIFT in
+    # each headline metric — the number the 0.5% tolerance is about.  GT is
+    # a smooth synthetic field at the same shape; the predictions are
+    # random-net decodes, so the absolute metric values are meaningless but
+    # their bf16-vs-f32 DIFFERENCE is exactly the numerics budget.
+    from unigeo_tpu.metrics.depth import depth_evaluation
+    from unigeo_tpu.ops.backproject import backproject_to_cv_position
+    from unigeo_tpu.ops.normals import surface_normals_from_points
+
+    yy, xx = np.meshgrid(np.linspace(0, 2, h), np.linspace(0, 2, w),
+                         indexing="ij")
+    gt = (2.0 + np.sin(xx * 3) * np.cos(yy * 2))[None].repeat(t, 0)
+    gt = gt.astype(np.float32)
+
+    metric_shift = {}
+    legs = {}
+    for tag, d in (("bf16", d16), ("f32", d32)):
+        m, _, _, _ = depth_evaluation(d, gt, alignment="lstsq")
+        legs[tag] = m
+    for k in ("Abs Rel", "Sq Rel", "RMSE", "delta < 1.25"):
+        if k in legs["f32"]:
+            metric_shift[k] = round(
+                abs(legs["bf16"][k] - legs["f32"][k]), 6)
+
+    # normal-metric budget: normals from each leg's depth via the adapter
+    # recipe (backproject -> plane-fit normals), mean angular shift
+    K = np.array([[0.6 * w, 0, w / 2], [0, 0.6 * w, h / 2], [0, 0, 1]],
+                 np.float32)
+    nrm = {}
+    for tag, d in (("bf16", d16), ("f32", d32)):
+        pts = jax.vmap(lambda dd: backproject_to_cv_position(dd, K))(
+            jnp.asarray(d))
+        nrm[tag] = np.asarray(surface_normals_from_points(pts))
+    dot = np.clip(np.sum(nrm["bf16"] * nrm["f32"], axis=-1), -1.0, 1.0)
+    normal_shift_deg = float(np.degrees(np.arccos(dot)).mean())
+
     result = {
         "metric": f"bf16-vs-f32 depth drift, DepthCrafter{' (tiny)' if tiny else ''} "
         f"{t}-frame {h}x{w}, {steps} steps, reference postproc",
@@ -143,6 +180,8 @@ def main():
         "rel_p99": round(float(np.quantile(rel, 0.99)), 6),
         "rel_max": round(float(rel.max()), 6),
         "delta_1p25": round(float((ratio < 1.25).mean()), 6),
+        "metric_shift_vs_fixed_gt": metric_shift,
+        "normal_mean_angle_shift_deg": round(normal_shift_deg, 4),
         "north_star_tolerance": 0.005,
         "within_tolerance": bool(rel.mean() < 0.005),
         "device": jax.devices()[0].device_kind,

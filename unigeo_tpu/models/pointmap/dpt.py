@@ -35,11 +35,12 @@ def _tokens_to_map(tokens, grid):
     return tokens.reshape(b, gh, gw, c)
 
 
-def _resize2x(x):
-    """Bilinear ×2 with align_corners=True (the torch DPT convention:
-    F.interpolate(..., mode="bilinear", align_corners=True))."""
+def _resize_to(x, oh: int, ow: int):
+    """Bilinear resize to an arbitrary size with align_corners=True (the
+    torch DPT convention: F.interpolate(..., align_corners=True))."""
     b, h, w, c = x.shape
-    oh, ow = 2 * h, 2 * w
+    if (h, w) == (oh, ow):
+        return x
     if h <= 1 or w <= 1:
         return jax.image.resize(x, (b, oh, ow, c), method="nearest")
     # align_corners mapping in = out·(h-1)/(oh-1); scale_and_translate uses
@@ -54,6 +55,11 @@ def _resize2x(x):
         x, (b, oh, ow, c), (1, 2), scale, 0.5 - 0.5 * scale,
         method="linear", antialias=False,
     )
+
+
+def _resize2x(x):
+    """Bilinear ×2, align_corners=True."""
+    return _resize_to(x, 2 * x.shape[1], 2 * x.shape[2])
 
 
 class ResidualConvUnit(nn.Module):
@@ -78,6 +84,12 @@ class FeatureFusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip=None):
         if skip is not None:
+            # odd token grids (e.g. DINOv2 patch 14 on 384×512 → 27×36):
+            # the deeper path's stride-2 down + ×2 up lands one row/col off
+            # the skip — resize to the skip's grid before fusing, the
+            # DepthAnything DPTHead convention.  Even grids: no-op, so the
+            # torch-parity path is untouched.
+            x = _resize_to(x, skip.shape[1], skip.shape[2])
             x = x + ResidualConvUnit(self.features, name="resConfUnit1")(skip)
         x = ResidualConvUnit(self.features, name="resConfUnit2")(x)
         x = _resize2x(x)
