@@ -585,6 +585,43 @@ def _bench_secondary(rtt):
         print(json.dumps({"metric": "Spann3R bench", "secondary": True,
                           "error": f"{type(e).__name__}: {e}"[:300]}))
 
+    _emit_zoo_matrix(live={"DepthCrafter", "Aether", "Spann3R"})
+
+
+def _emit_zoo_matrix(live):
+    """One JSON line per remaining registered model (VERDICT r4 #2).
+
+    The full matrix takes ~1 h of compiles on the tunneled backend — far
+    over the bench deadline — so it is measured once by tools/bench_zoo.py
+    on the real chip and committed as BENCH_ZOO.json; here each entry is
+    replayed with explicit provenance.  Models the primary bench measured
+    live this run are skipped (their fresh lines already printed)."""
+    try:
+        with open(os.path.join(_REPO, "BENCH_ZOO.json")) as f:
+            zoo = json.load(f)
+    except Exception:
+        print(json.dumps({"metric": "model-zoo matrix", "secondary": True,
+                          "error": "BENCH_ZOO.json missing — run "
+                                   "tools/bench_zoo.py"}))
+        return
+    provenance = (f"committed BENCH_ZOO.json, measured "
+                  f"{zoo.get('measured', '?')} on {zoo.get('device_kind')}")
+    for e in zoo.get("entries", []):
+        name = e.get("model")
+        if name in live or not name:
+            continue
+        line = {"metric": f"frames/sec/chip, {name} "
+                          f"{e.get('frames')}-frame "
+                          f"{e.get('h')}x{e.get('w')} clips (full adapter)",
+                "secondary": True, "source": provenance}
+        for k in ("fps_per_chip", "clip_ms", "stage_ms", "first_run_s",
+                  "notes", "error", "skipped", "stage_ms_error"):
+            if k in e:
+                line["value" if k == "fps_per_chip" else k] = e[k]
+        if "value" in line:
+            line["unit"] = "frames/sec/chip"
+        print(json.dumps(line))
+
 
 def main():
     small = os.environ.get("BENCH_SMALL", "0") == "1"
