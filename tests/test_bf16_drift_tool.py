@@ -47,6 +47,36 @@ def test_drift_tool_tiny_pipeline(tmp_path, monkeypatch):
     assert 0.5 <= result["delta_1p25"] <= 1.0
     assert np.isfinite(result["rel_max"])
 
+    # metric-level budget (VERDICT r4 #3): both legs scored against one
+    # fixed GT through the real metrics suite; the SHIFT — the number the
+    # 0.5% tolerance is actually about — must be far below it even at
+    # tiny scale, where per-pixel drift is largest relative to signal
+    shift = result["metric_shift_vs_fixed_gt"]
+    assert "Abs Rel" in shift and "delta < 1.25" in shift
+    assert shift["Abs Rel"] < 5e-4, shift
+    assert np.isfinite(result["normal_mean_angle_shift_deg"])
+
+
+def test_numerics_budget_regression():
+    """Pin the committed production-shape bound: BF16_DRIFT.json (measured
+    on the real chip by tools/measure_bf16_drift.py) must show the
+    metric-level Abs Rel shift within the 0.5% north-star tolerance.
+    Guards NUMERICS.md's headline claim against silently-regressed
+    re-measurement."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BF16_DRIFT.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("BF16_DRIFT.json not committed yet")
+    result = json.loads(open(path).read())
+    shift = result["metric_shift_vs_fixed_gt"]
+    assert shift["Abs Rel"] < 0.005 * 0.2, shift  # 5x headroom under 0.5%
+    assert result["absrel_aligned_lstsq"] < 0.02
+    assert result["delta_1p25"] > 0.99
+
 
 def test_reference_postproc_matches_reference_formula():
     """reference model/depthcrafter.py:92-97: channel mean -> clip min-max

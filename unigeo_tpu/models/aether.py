@@ -507,6 +507,8 @@ class Aether:
         init_height: int = 384,
         init_width: int = 512,
         init_frames: int = 8,
+        compute_dtype: Optional[str] = None,  # "bfloat16" = fp16-ref mode
+        transfer_dtype: Optional[str] = None,  # "float16" halves output IO
         # reference-config compat (accepted, unused)
         model_dir: Optional[str] = None,
         **_: Dict,
@@ -543,6 +545,62 @@ class Aether:
             lambda p, z: self.vae.apply(p, z, method=CausalVAE3D.decode))
         self._sample = jax.jit(self._flow_sample, static_argnames=("steps",))
 
+        from unigeo_tpu.models.pointmap import adapter as _adapter
+
+        self._adapter = _adapter
+        cdt = _adapter.resolve_compute_dtype(compute_dtype)
+        tdt = _adapter.resolve_transfer_dtype(transfer_dtype)
+        if cdt is not None:
+            self.vae_params = _adapter.cast_params(self.vae_params, cdt)
+            self.dit_params = _adapter.cast_params(self.dit_params, cdt)
+
+        def _stage_main(vp, dp_, raw, intr):
+            """ONE device program: raw [T,3,H,W] 0..255 → (depths,
+            normals_gl, raymaps, cam points).  The host only massages the
+            tiny raymaps (f64 pose recovery) between this and _stage_world
+            — cam points never leave the device (tools/bench_zoo.py r5:
+            the split pipeline spent 95% of 4.9 s/clip on transfers and
+            host passes)."""
+            t = raw.shape[0]
+            frames = jnp.moveaxis(raw, 1, -1) / 255.0
+            inp = frames * 2.0 - 1.0
+            pad = (-t) % self.vae.ct
+            if pad:
+                inp = jnp.concatenate(
+                    [jnp.repeat(inp[:1], pad, axis=0), inp], 0)
+            if cdt is not None:
+                inp = inp.astype(cdt)
+            cond_lat = self.vae.apply(vp, inp, method=CausalVAE3D.encode)
+            tl, h_lat, w_lat = cond_lat.shape[:3]
+            noise = jax.random.normal(
+                jax.random.PRNGKey(self.seed),
+                (tl, h_lat, w_lat, self.target_channels),
+                cond_lat.dtype if cdt is not None else jnp.float32)
+            sampled = self._flow_sample(dp_, cond_lat, noise, self.num_steps)
+            depth_lat = sampled[..., : self.vae.z_channels]
+            raymaps = sampled[..., self.vae.z_channels:].astype(jnp.float32)
+            decoded = self.vae.apply(
+                vp, depth_lat, method=CausalVAE3D.decode
+            )[pad:].astype(jnp.float32)
+            depths = jnp.clip(
+                (jnp.mean(decoded, axis=-1) + 1.0) / 2.0, 1e-3, None)
+            pts_cam = jax.vmap(backproject_to_cv_position)(depths, intr)
+            normals_gl = surface_normals_from_points(pts_cam) * jnp.asarray(
+                [1.0, -1.0, -1.0])
+            if tdt is not None:
+                normals_gl = normals_gl.astype(tdt)
+            return depths, normals_gl, raymaps, pts_cam
+
+        def _stage_world(pts_cam, rot, trans):
+            pts_world = (
+                jnp.einsum("nij,nhwj->nhwi", rot, pts_cam)
+                + trans[:, None, None, :]
+            )
+            return pts_world.astype(tdt) if tdt is not None else pts_world
+
+        self._stage_main = jax.jit(_stage_main)
+        self._stage_world = jax.jit(_stage_world)
+
     # rectified flow: x_t = (1-t) x0 + t eps, v = eps - x0; Euler t: 1 → 0
     def _flow_sample(self, params, cond_lat, noise, steps: int):
         def body(i, x):
@@ -556,32 +614,19 @@ class Aether:
         return jax.lax.fori_loop(0, steps, body, noise)
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
-        frames = (
-            np.moveaxis(np.asarray(data["images"]), 1, -1).astype(np.float32)
-            / 255.0
-        )
-        t, h, w = frames.shape[:3]
+        raw = self._adapter.raw_clip(data)
+        t = raw.shape[0]
         ct, cs = self.vae.ct, self.vae.cs
         pad = (-t) % ct
-        inp = jnp.asarray(frames) * 2.0 - 1.0
-        if pad:
-            inp = jnp.concatenate([jnp.repeat(inp[:1], pad, axis=0), inp], 0)
-
-        cond_lat = self._encode(self.vae_params, inp)
-        tl, h_lat, w_lat = cond_lat.shape[:3]
-        noise = jax.random.normal(
-            jax.random.PRNGKey(self.seed),
-            (tl, h_lat, w_lat, self.target_channels), jnp.float32)
-        sampled = self._sample(
-            self.dit_params, cond_lat, noise, steps=self.num_steps)
-        depth_lat = sampled[..., : self.vae.z_channels]
-        raymaps = sampled[..., self.vae.z_channels:]
-
-        decoded = self._decode(self.vae_params, depth_lat)[pad:]
-        # direct affine-invariant depth (ChronoDepth-family recipe)
-        depths = jnp.clip((jnp.mean(decoded, axis=-1) + 1.0) / 2.0, 1e-3, None)
-
         intr = np.stack(np.asarray(data["intrinsics"])).astype(np.float32)
+
+        depths, normals_gl, raymaps, pts_cam = self._stage_main(
+            self.vae_params, self.dit_params, jnp.asarray(raw),
+            jnp.asarray(intr))
+
+        # pose recovery stays on host: raymaps are tiny (~0.3 MB) and the
+        # f64 numpy path is oracle-pinned (test_aether_composed_oracle)
+        tl = raymaps.shape[0]
         scale = np.diag([1.0 / cs, 1.0 / cs, 1.0])
         intr_lat = scale @ intr[0]  # raymap grid intrinsics (shared)
         raymaps_np = np.asarray(raymaps)
@@ -593,22 +638,16 @@ class Aether:
         # frame 0 = world (dataset/Readme.md:22-33)
         poses = np.linalg.inv(poses[0])[None] @ poses
 
-        pts_cam = jax.vmap(backproject_to_cv_position)(
-            depths, jnp.asarray(intr))
-        normals_cv = surface_normals_from_points(pts_cam)
-        normals_gl = normals_cv * jnp.asarray([1.0, -1.0, -1.0])
-        rot = jnp.asarray(poses[:, :3, :3])
-        trans = jnp.asarray(poses[:, :3, 3])
-        pts_world = (
-            jnp.einsum("nij,nhwj->nhwi", rot, pts_cam)
-            + trans[:, None, None, :]
-        )
-        return {
-            "pred_depths": np.asarray(depths),
-            "pred_normals": np.asarray(normals_gl),
-            "pred_poses": poses.astype(np.float32),
-            "pred_world_pts": np.asarray(pts_world),
-        }
+        pts_world = self._stage_world(
+            pts_cam, jnp.asarray(poses[:, :3, :3].astype(np.float32)),
+            jnp.asarray(poses[:, :3, 3].astype(np.float32)))
+        out = self._adapter.fetch_outputs({
+            "pred_depths": depths,
+            "pred_normals": normals_gl,
+            "pred_world_pts": pts_world,
+        })
+        out["pred_poses"] = poses.astype(np.float32)
+        return out
 
 
 def tiny_aether(height: int = 64, width: int = 64, frames: int = 8,
