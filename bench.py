@@ -84,12 +84,13 @@ class _Reporter:
             self._snapshot = {}
         self._stop = threading.Event()
         threading.Thread(target=self._heartbeat, daemon=True).start()
-        # Fire at 80% of the deadline (min 60 s margin at the full 480 s
-        # budget): a fixed -60 s with a 5 s floor made any deadline <= 65 s
-        # (e.g. a BENCH_SMALL smoke) emit a provisional line ~5 s in even on
-        # healthy runs.
+        # Fire at the LATER of (deadline - 60 s) and 80% of the deadline:
+        # a fixed -60 s with a 5 s floor made any deadline <= 65 s (e.g. a
+        # BENCH_SMALL smoke) emit a provisional line ~5 s in even on
+        # healthy runs; short deadlines now get the proportional 80%
+        # margin while the full 480 s budget keeps its 60 s one.
         self._watchdog = threading.Timer(
-            max(5.0, min(_DEADLINE_S - 60.0, 0.8 * _DEADLINE_S)),
+            max(5.0, _DEADLINE_S - 60.0, 0.8 * _DEADLINE_S),
             self._on_watchdog,
         )
         self._watchdog.daemon = True
@@ -545,7 +546,7 @@ def _bench_secondary(rtt):
         ctx = n_tok * (1 + 4)  # self projection + 4 ring-memory frames
         enc_fl = ed * nf * n_tok * (24 * ew**2 + 4 * n_tok * ew)
         dec_fl = dd * nf * n_tok * (
-            12 * dw**2 + 4 * n_tok * dw  # self attn + mlp
+            24 * dw**2 + 4 * n_tok * dw  # self qkv/proj + mlp + attention
             + 4 * dw**2 + 4 * ctx * dw   # cross q/out + attention
         ) + dd * nf * ctx * 4 * dw**2     # cross kv over context tokens
         flops = enc_fl + dec_fl

@@ -80,3 +80,22 @@ def time_single(fn, *args, reps: int = 5, rtt: float = 0.0) -> float:
         float(prog(*args))
         ts.append(time.perf_counter() - t0)
     return max(min(ts) - rtt, 0.0)
+
+
+def timed_blocking(fn, rtt: float = 0.0, reps: int = 3,
+                   warm: bool = True) -> float:
+    """Min wall seconds of ``fn()`` over ``reps``, RTT-corrected.
+
+    ``fn`` must itself block (end with a host fetch).  The shared
+    implementation behind bench_zoo / ablate_spann3r / bench.py's
+    secondary stage probes — keep the warm/reps/RTT policy here so every
+    tool measures the same way.
+    """
+    if warm:
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - rtt, 0.0)

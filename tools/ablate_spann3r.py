@@ -31,27 +31,9 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def measure_rtt():
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(trivial(jnp.float32(0.0)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+from tools._benchlib import measure_rtt, timed_blocking  # noqa: E402
 
-
-def timed(fn, rtt, reps=3, warm=True):
-    """min wall seconds of fn() (fn must block: end with a host fetch)."""
-    if warm:
-        fn()
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return max(min(ts) - rtt, 0.0)
+timed = timed_blocking
 
 
 def main():

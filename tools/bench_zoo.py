@@ -42,25 +42,11 @@ def _remaining():
     return DEADLINE_S - (time.perf_counter() - _T0)
 
 
-def measure_rtt():
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(trivial(jnp.float32(0.0)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+from tools._benchlib import measure_rtt, timed_blocking  # noqa: E402
 
 
 def timed(fn, rtt, reps=3):
-    fn()
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return max(min(ts) - rtt, 0.0) * 1e3
+    return timed_blocking(fn, rtt=rtt, reps=reps) * 1e3
 
 
 def make_data(nf, h, w, focal_scale=0.9):
@@ -436,9 +422,14 @@ def spec_aether():
 
 
 def _spec_names():
-    return ["IdentityModel", "VideoDepthAnything", "Spann3R", "Cut3R",
-            "Dust3R", "Aether", "DepthCrafter", "StableNormal",
-            "ChronoDepth", "DepthAnyVideo", "UniGeoCam"]
+    names = ["IdentityModel", "VideoDepthAnything", "Spann3R", "Cut3R",
+             "Dust3R", "Aether", "DepthCrafter", "StableNormal",
+             "ChronoDepth", "DepthAnyVideo", "UniGeoCam"]
+    subset = os.environ.get("ZOO_MODELS")
+    if subset:
+        want = [s.strip() for s in subset.split(",") if s.strip()]
+        names = [n for n in names if n in want]
+    return names
 
 
 def main_subprocess_matrix():
@@ -484,16 +475,48 @@ def main_subprocess_matrix():
     for e in entries:
         if "device_kind" in e:
             dev_kind = e.pop("device_kind")
-    results = {
-        "device_kind": dev_kind,
-        "small": SMALL,
-        "isolation": "one subprocess per model (HBM freed between models)",
-        "note": "random weights, production shapes; clip_ms includes "
-                "host<->device transfers (the dev tunnel moves ~25-40 MB/s)",
-        "measured": datetime.datetime.now().isoformat(timespec="seconds"),
-        "entries": entries,
-    }
     out_path = os.path.join(REPO, "BENCH_ZOO.json")
+    results = None
+    if os.environ.get("ZOO_MERGE") == "1":
+        # merge this pass's entries over an existing matrix (fills models
+        # a prior deadline skipped, keeps the rest)
+        try:
+            with open(out_path) as f:
+                results = json.load(f)
+            fresh = {e["model"]: e for e in entries}
+
+            def _pick(old):
+                new = fresh.pop(old["model"], None)
+                if new is None:
+                    return old
+                # never clobber a real measurement with a deadline/error
+                # stub from this pass
+                if "clip_ms" in new or "clip_ms" not in old:
+                    return new
+                return old
+
+            results["entries"] = [
+                _pick(e) for e in results["entries"]
+            ] + list(fresh.values())
+            results["measured"] = datetime.datetime.now().isoformat(
+                timespec="seconds")
+            if dev_kind != "unknown":
+                results["device_kind"] = dev_kind
+        except Exception:
+            results = None
+    if results is None:
+        results = {
+            "device_kind": dev_kind,
+            "small": SMALL,
+            "isolation": "one subprocess per model (HBM freed between "
+                         "models)",
+            "note": "random weights, production shapes; clip_ms includes "
+                    "host<->device transfers (the dev tunnel moves "
+                    "~25-40 MB/s)",
+            "measured": datetime.datetime.now().isoformat(
+                timespec="seconds"),
+            "entries": entries,
+        }
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"[zoo] wrote {out_path}", file=sys.stderr)

@@ -65,6 +65,12 @@ class VDANetwork(nn.Module):
     learned_pos_embed: bool = False  # DINOv2: True (trained at grid 37)
     max_grid: int = 37  # 518 / 14, the DINOv2 pos-table grid
     hook_norm: bool = False  # apply the final norm to each hooked layer
+    # frames per DPT-head invocation: the head's fused+upsampled feature
+    # maps are ~130 MB/frame f32 at ViT-L 384×512 — all 25 production
+    # frames at once RESOURCE_EXHAUSTs a v5e (caught by bench_zoo r5).
+    # The head is frame-independent (temporal mixing happens before it),
+    # so chunking only bounds peak memory; params are shared across calls.
+    head_chunk: int = 8
 
     @nn.compact
     def __call__(self, frames):
@@ -114,12 +120,18 @@ class VDANetwork(nn.Module):
                           name=f"temporal_{h}")(xt)
             hooks.append(jnp.swapaxes(xt, 0, 1))
 
-        disp = DPTHead(
+        head = DPTHead(
             out_channels=1,
             layer_dims=(self.width // 4, self.width // 2,
                         self.width, self.width),
             name="head",
-        )(hooks, (gh, gw))[..., 0]  # [T, gh*p, gw*p]
+        )
+        chunk = max(1, self.head_chunk)
+        parts = [
+            head([hk[i:i + chunk] for hk in hooks], (gh, gw))[..., 0]
+            for i in range(0, t, chunk)
+        ]  # same module instance → shared params; peak memory = one chunk
+        disp = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         disp = nn.relu(disp)
         target = (t,) + frames.shape[1:3]
         if disp.shape != target:  # patch sizes that don't tile H/W exactly

@@ -89,18 +89,20 @@ def project_v5e(stage_ms: Dict[str, float], frames: int = 25,
     }
 
     # --- staged pp: search the best 3-way chip split ---------------------
+    # inter-stage ICI: the encode→denoise handoff moves cond latents
+    # (frames × 48×64 × 8ch bf16) and denoise→decode moves the denoised
+    # latents (× 4ch) — ~0.05 ms/clip at 90 GB/s.  Added to each stage's
+    # effective service time.
+    xfer_ms = (frames * 48 * 64 * 12 * 2) / (ici_gbps * 1e9) * 1e3
     best = None
     for e in range(1, n - 1):
         for d in range(1, n - e):
             c = n - e - d
-            rate = min(e / enc, d / den, c / dec)  # clips per ms
+            rate = min(e / (enc + xfer_ms), d / (den + xfer_ms),
+                       c / (dec + xfer_ms))  # clips per ms
             if best is None or rate > best[0]:
                 best = (rate, e, d, c)
     rate, e_chips, d_chips, c_chips = best
-    # inter-stage ICI: frames to denoise stage are already latents
-    # (encode emits cond latents 25x48x64x8 bf16 ≈ 1.2 MB) + decode input
-    # latents ≈ 0.6 MB → ~0.05 ms/clip at 90 GB/s: negligible, included
-    xfer_ms = (25 * 48 * 64 * 12 * 2) / (ici_gbps * 1e9) * 1e3
     pp_fps = rate * 1e3 * frames
     out["modes"]["staged_pp"] = {
         "fps": round(pp_fps, 1),
