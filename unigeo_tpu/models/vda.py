@@ -126,12 +126,29 @@ class VDANetwork(nn.Module):
                         self.width, self.width),
             name="head",
         )
-        chunk = max(1, self.head_chunk)
-        parts = [
-            head([hk[i:i + chunk] for hk in hooks], (gh, gw))[..., 0]
-            for i in range(0, t, chunk)
-        ]  # same module instance → shared params; peak memory = one chunk
+        chunk = min(max(1, self.head_chunk), t)
+        # pad the frame axis so every chunk has the SAME shape (one set of
+        # compiled convs instead of one per remainder shape)
+        pad_t = (-t) % chunk
+        if pad_t:
+            hooks = [
+                jnp.concatenate(
+                    [hk, jnp.zeros((pad_t,) + hk.shape[1:], hk.dtype)], 0)
+                for hk in hooks
+            ]
+        parts = []
+        for i in range(0, t + pad_t, chunk):
+            hks = [hk[i:i + chunk] for hk in hooks]
+            if parts:
+                # ordering barrier: the chunks have no data dependence, so
+                # without this XLA may schedule several concurrently and
+                # re-exceed the peak HBM this chunking exists to bound
+                *hks, _ = jax.lax.optimization_barrier(
+                    tuple(hks) + (parts[-1],))
+            parts.append(head(hks, (gh, gw))[..., 0])
+        # same module instance → shared params; peak memory = one chunk
         disp = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        disp = disp[:t]
         disp = nn.relu(disp)
         target = (t,) + frames.shape[1:3]
         if disp.shape != target:  # patch sizes that don't tile H/W exactly
