@@ -87,6 +87,7 @@ class ChronoDepth:
             from unigeo_tpu.utils.checkpoint import load_params
 
             self.pipe.params = load_params(checkpoint_path)
+            self.pipe.cast_params_to_dtype()
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
         pipe = self.pipe

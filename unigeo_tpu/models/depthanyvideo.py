@@ -63,6 +63,7 @@ class DepthAnyVideo:
             from unigeo_tpu.utils.checkpoint import load_params
 
             self.pipe.params = load_params(checkpoint_path)
+            self.pipe.cast_params_to_dtype()
 
     def keyframe_indices(self, t: int) -> np.ndarray:
         """Every k-th frame, always including the last frame."""

@@ -93,6 +93,7 @@ class DepthCrafter:
             from unigeo_tpu.utils.checkpoint import load_params
 
             self.pipeline.params = load_params(checkpoint_path)
+            self.pipeline.cast_params_to_dtype()
         elif self.pipeline.params is None:
             self.pipeline.init_params(
                 jax.random.PRNGKey(seed), init_height, init_width, init_frames

@@ -123,6 +123,24 @@ class DepthCrafterPipeline:
             "clip": clip_params["params"],
             "unet": unet_params["params"],
         }
+        # keep params at the pipeline compute dtype: f32 SVD-XT params are
+        # 6 GB and promote every kernel's compute to f32 (the activations'
+        # .astype(dtype) is not enough under flax promotion) — on a 16 GB
+        # v5e that RESOURCE_EXHAUSTs the production 25×384×512 forward
+        # (caught live by tools/bench_zoo.py round 5; bench.py always ran
+        # bf16 params, which is why the flagship bench never hit it)
+        self.cast_params_to_dtype()
+        return self.params
+
+    def cast_params_to_dtype(self):
+        """Cast float param leaves to the pipeline compute dtype (call
+        after loading a checkpoint saved at a different precision)."""
+        if self.params is not None and self.dtype != jnp.float32:
+            self.params = jax.tree.map(
+                lambda a: a.astype(self.dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                self.params,
+            )
         return self.params
 
     # ------------------------------------------------------------------

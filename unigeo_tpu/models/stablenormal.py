@@ -59,6 +59,7 @@ class StableNormal:
             from unigeo_tpu.utils.checkpoint import load_params
 
             self.pipeline.params = load_params(checkpoint_path)
+            self.pipeline.cast_params_to_dtype()
         else:
             # frames are processed independently (T=1 per image, batched)
             self.pipeline.init_params(
