@@ -91,25 +91,27 @@ class ChronoDepth:
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
         pipe = self.pipe
-        frames = (
-            np.moveaxis(np.asarray(data["images"]), 1, -1).astype(np.float32)
-            / 255.0
-        )
-        t, h, w, _ = frames.shape
+        raw = np.ascontiguousarray(np.asarray(data["images"], np.float32))
+        t, h, w = raw.shape[0], raw.shape[2], raw.shape[3]
         if pipe.params is None:
             pipe.init_params(jax.random.PRNGKey(0), h, w, t)
         win = min(self.window_size or t, t)
         ov = min(self.overlap, win - 1) if win < t else 0
         rng = jax.random.PRNGKey(self.seed)
 
-        lat_acc = np.zeros((t, h // 8, w // 8, 4), np.float32)
+        # device-resident window loop: the clip uploads ONCE and the
+        # accumulated latents never leave the device (the per-window numpy
+        # round trips cost several seconds/clip over the tunneled backend;
+        # window slicing is static so every dispatch below is a cached jit)
+        frames = jnp.moveaxis(jnp.asarray(raw), 1, -1) / 255.0
+        lat_acc = jnp.zeros((t, h // 8, w // 8, 4), jnp.float32)
         prev_end = 0
         stride = win - ov
         starts = list(range(0, max(t - ov, 1), stride))
         for wi, start in enumerate(starts):
             end = min(start + win, t)
             start = end - win  # full windows only (last one re-covers)
-            chunk = jnp.asarray(frames[start:end])
+            chunk = frames[start:end]
             cond, ctx = pipe._encode_stage(pipe.params, chunk, None)
             noise = jax.random.normal(
                 jax.random.fold_in(rng, wi), (win, h // 8, w // 8, 4),
@@ -119,15 +121,15 @@ class ChronoDepth:
             mask_t = jnp.asarray(
                 (np.arange(win) < n_known).astype(np.float32)
             )
-            known = jnp.asarray(lat_acc[start : start + win])
+            known = lat_acc[start:start + win]
             x = pipe._denoise_stage_known(
                 pipe.params, cond, ctx, noise, known, mask_t,
                 self.num_inference_steps,
             )
-            lat_acc[start:end] = np.asarray(x)
+            lat_acc = lat_acc.at[start:end].set(x)
             prev_end = end
 
-        decoded = pipe._decode_stage(pipe.params, jnp.asarray(lat_acc))
+        decoded = pipe._decode_stage(pipe.params, lat_acc)
         decoded01 = (jnp.asarray(decoded) + 1.0) / 2.0
         intr = jnp.asarray(np.stack(np.asarray(data["intrinsics"])))
         depths, normals_gl = _postprocess(decoded01, intr)

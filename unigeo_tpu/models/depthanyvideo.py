@@ -74,19 +74,20 @@ class DepthAnyVideo:
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
         pipe = self.pipe
-        frames = (
-            np.moveaxis(np.asarray(data["images"]), 1, -1).astype(np.float32)
-            / 255.0
-        )
-        t, h, w, _ = frames.shape
+        raw = np.ascontiguousarray(np.asarray(data["images"], np.float32))
+        t, h, w = raw.shape[0], raw.shape[2], raw.shape[3]
         if pipe.params is None:
             pipe.init_params(jax.random.PRNGKey(0), h, w, t)
         rng = jax.random.PRNGKey(self.seed)
         key_idx = self.keyframe_indices(t)
 
+        # device-resident: the clip uploads ONCE; the keyframe subset is a
+        # device gather, and phase-1 latents feed phase 2 without a host hop
+        frames = jnp.moveaxis(jnp.asarray(raw), 1, -1) / 255.0
+
         # phase 1: plain denoise of the sparse key frames (their own
         # temporal context — the coarse level of the hierarchy)
-        kf = jnp.asarray(frames[key_idx])
+        kf = frames[jnp.asarray(key_idx)]
         cond_k, ctx_k = pipe._encode_stage(pipe.params, kf, None)
         noise_k = jax.random.normal(
             jax.random.fold_in(rng, 0),
@@ -101,7 +102,7 @@ class DepthAnyVideo:
         else:
             # phase 2: full clip, key frames clamped to their phase-1
             # latents — intermediates interpolate inside the diffusion
-            cond, ctx = pipe._encode_stage(pipe.params, jnp.asarray(frames), None)
+            cond, ctx = pipe._encode_stage(pipe.params, frames, None)
             noise = jax.random.normal(
                 jax.random.fold_in(rng, 1), (t, h // 8, w // 8, 4), jnp.float32,
             )
