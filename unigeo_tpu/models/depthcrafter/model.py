@@ -103,9 +103,21 @@ class DepthCrafter:
         images = np.asarray(data["images"])  # [Nf,3,H,W] 0..255
         return np.moveaxis(images, 1, -1).astype(np.float32) / 255.0
 
+    @staticmethod
+    @jax.jit
+    def _transpose_on_device(raw01):
+        """[Nf,3,H,W] → [Nf,H,W,3] ON DEVICE.  The /255 stays on host (one
+        contiguous pass) so the frame VALUES are bit-identical to
+        prepare_input — a device-side division fuses into the encode's
+        *2-1 with different rounding and breaks the forward ≡
+        pipeline.__call__ exactness contract.  The strided host transpose
+        copy (~0.4 s/clip on this 1-core host) is what moves off-host."""
+        return jnp.moveaxis(raw01, 1, -1)
+
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
-        frames = self.prepare_input(data)
-        t, h, w, _ = frames.shape
+        raw01 = np.asarray(data["images"], np.float32) / np.float32(255.0)
+        t, h, w = raw01.shape[0], raw01.shape[2], raw01.shape[3]
+        frames = self._transpose_on_device(jnp.asarray(raw01))
         window = self.window_size or t
         if window >= t:
             # Whole-clip window (the benchmark configs: window == clip,
