@@ -589,7 +589,7 @@ def _bench_secondary(rtt):
     _emit_zoo_matrix(live={"DepthCrafter", "Aether", "Spann3R"})
 
 
-def _emit_zoo_matrix(live):
+def _emit_zoo_matrix(live, path=None):
     """One JSON line per remaining registered model (VERDICT r4 #2).
 
     The full matrix takes ~1 h of compiles on the tunneled backend — far
@@ -598,7 +598,7 @@ def _emit_zoo_matrix(live):
     replayed with explicit provenance.  Models the primary bench measured
     live this run are skipped (their fresh lines already printed)."""
     try:
-        with open(os.path.join(_REPO, "BENCH_ZOO.json")) as f:
+        with open(path or os.path.join(_REPO, "BENCH_ZOO.json")) as f:
             zoo = json.load(f)
     except Exception:
         print(json.dumps({"metric": "model-zoo matrix", "secondary": True,

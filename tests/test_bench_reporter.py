@@ -152,3 +152,33 @@ def test_retry_helper_retries_resource_exhausted(monkeypatch, tmp_path):
 
     with pytest.raises(ValueError):
         mod._with_retry(fatal, "probe")
+
+
+def test_emit_zoo_matrix_replays_committed_entries(tmp_path, capsys):
+    """bench's zoo replay: every non-live entry prints one labeled JSON
+    line; live models are skipped; measurement fields carry through."""
+    import json
+
+    import bench
+
+    zoo = {
+        "device_kind": "TPU v5 lite", "measured": "2026-08-21T00:00:00",
+        "entries": [
+            {"model": "Spann3R", "clip_ms": 4609.0, "fps_per_chip": 4.34,
+             "frames": 20, "h": 384, "w": 512, "stage_ms": {"upload": 1.0}},
+            {"model": "Cut3R", "clip_ms": 5332.0, "fps_per_chip": 3.75,
+             "frames": 20, "h": 384, "w": 512},
+            {"model": "UniGeoCam", "skipped": "deadline"},
+        ],
+    }
+    p = tmp_path / "BENCH_ZOO.json"
+    p.write_text(json.dumps(zoo))
+    bench._emit_zoo_matrix(live={"Spann3R"}, path=str(p))
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    by_name = {l["metric"].split(",")[1].split()[0]: l for l in lines}
+    assert "Cut3R" in by_name and "UniGeoCam" in by_name
+    assert "Spann3R" not in by_name  # live models not replayed
+    assert by_name["Cut3R"]["value"] == 3.75
+    assert by_name["Cut3R"]["unit"] == "frames/sec/chip"
+    assert "committed BENCH_ZOO.json" in by_name["Cut3R"]["source"]
+    assert by_name["UniGeoCam"]["skipped"] == "deadline"
