@@ -91,8 +91,8 @@ class ChronoDepth:
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
         pipe = self.pipe
-        raw = np.ascontiguousarray(np.asarray(data["images"], np.float32))
-        t, h, w = raw.shape[0], raw.shape[2], raw.shape[3]
+        images = np.asarray(data["images"])
+        t, h, w = images.shape[0], images.shape[2], images.shape[3]
         if pipe.params is None:
             pipe.init_params(jax.random.PRNGKey(0), h, w, t)
         win = min(self.window_size or t, t)
@@ -103,7 +103,7 @@ class ChronoDepth:
         # accumulated latents never leave the device (the per-window numpy
         # round trips cost several seconds/clip over the tunneled backend;
         # window slicing is static so every dispatch below is a cached jit)
-        frames = jnp.moveaxis(jnp.asarray(raw), 1, -1) / 255.0
+        frames = pipe.prepare_clip(images)
         lat_acc = jnp.zeros((t, h // 8, w // 8, 4), jnp.float32)
         prev_end = 0
         stride = win - ov

@@ -74,8 +74,8 @@ class DepthAnyVideo:
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
         pipe = self.pipe
-        raw = np.ascontiguousarray(np.asarray(data["images"], np.float32))
-        t, h, w = raw.shape[0], raw.shape[2], raw.shape[3]
+        images = np.asarray(data["images"])
+        t, h, w = images.shape[0], images.shape[2], images.shape[3]
         if pipe.params is None:
             pipe.init_params(jax.random.PRNGKey(0), h, w, t)
         rng = jax.random.PRNGKey(self.seed)
@@ -83,7 +83,7 @@ class DepthAnyVideo:
 
         # device-resident: the clip uploads ONCE; the keyframe subset is a
         # device gather, and phase-1 latents feed phase 2 without a host hop
-        frames = jnp.moveaxis(jnp.asarray(raw), 1, -1) / 255.0
+        frames = pipe.prepare_clip(images)
 
         # phase 1: plain denoise of the sparse key frames (their own
         # temporal context — the coarse level of the hierarchy)

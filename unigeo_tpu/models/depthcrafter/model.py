@@ -103,21 +103,14 @@ class DepthCrafter:
         images = np.asarray(data["images"])  # [Nf,3,H,W] 0..255
         return np.moveaxis(images, 1, -1).astype(np.float32) / 255.0
 
-    @staticmethod
-    @jax.jit
-    def _transpose_on_device(raw01):
-        """[Nf,3,H,W] → [Nf,H,W,3] ON DEVICE.  The /255 stays on host (one
-        contiguous pass) so the frame VALUES are bit-identical to
-        prepare_input — a device-side division fuses into the encode's
-        *2-1 with different rounding and breaks the forward ≡
-        pipeline.__call__ exactness contract.  The strided host transpose
-        copy (~0.4 s/clip on this 1-core host) is what moves off-host."""
-        return jnp.moveaxis(raw01, 1, -1)
-
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
-        raw01 = np.asarray(data["images"], np.float32) / np.float32(255.0)
-        t, h, w = raw01.shape[0], raw01.shape[2], raw01.shape[3]
-        frames = self._transpose_on_device(jnp.asarray(raw01))
+        # shared clip prologue (pipeline.prepare_clip): host /255 keeps
+        # frame values bit-identical to prepare_input — the forward ≡
+        # pipeline.__call__ exactness contract — while the strided
+        # transpose runs on device
+        images = np.asarray(data["images"])
+        t, h, w = images.shape[0], images.shape[2], images.shape[3]
+        frames = self.pipeline.prepare_clip(images)
         window = self.window_size or t
         if window >= t:
             # Whole-clip window (the benchmark configs: window == clip,

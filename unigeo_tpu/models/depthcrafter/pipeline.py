@@ -20,7 +20,9 @@ Long clips run as overlapping windows whose decoded frames are crossfaded
 on the overlap (the reference pipeline's window/overlap stitching,
 depthcrafter.py:87-88 — a no-op at window == clip length).
 
-bf16 activations on TPU, f32 parameters, one compilation per (T,H,W).
+bf16 activations AND parameters at the production dtype (init_params /
+cast_params_to_dtype keep the tree at self.dtype — f32 params promote
+every kernel and exhaust a 16 GB v5e); one compilation per (T,H,W).
 """
 
 from __future__ import annotations
@@ -54,6 +56,13 @@ def aug_noise_rng(rng):
     import jax
 
     return jax.random.fold_in(rng, AUG_NOISE_FOLD)
+
+
+@jax.jit
+def _transpose_clip(raw01):
+    """[Nf,3,H,W] -> [Nf,H,W,3] on device (the strided host copy costs
+    ~0.4 s/clip on a 1-core host)."""
+    return jnp.moveaxis(raw01, 1, -1)
 
 
 class DepthCrafterPipeline:
@@ -134,14 +143,34 @@ class DepthCrafterPipeline:
 
     def cast_params_to_dtype(self):
         """Cast float param leaves to the pipeline compute dtype (call
-        after loading a checkpoint saved at a different precision)."""
+        after loading a checkpoint saved at a different precision).
+
+        The dtype probe reads ``a.dtype`` directly — jnp.asarray(a) would
+        device_put every numpy leaf (minutes for a 6 GB tree over the
+        tunneled backend) just to answer issubdtype."""
+        import numpy as _np
+
         if self.params is not None and self.dtype != jnp.float32:
             self.params = jax.tree.map(
                 lambda a: a.astype(self.dtype)
-                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                if _np.issubdtype(
+                    getattr(a, "dtype", _np.asarray(a).dtype), _np.floating)
+                else a,
                 self.params,
             )
         return self.params
+
+    def prepare_clip(self, images) -> jnp.ndarray:
+        """data["images"] [Nf,3,H,W] 0..255 → device frames [Nf,H,W,3] 0..1.
+
+        THE single clip-prologue policy for every SVD-family adapter: the
+        /255 stays on HOST (one contiguous pass) so frame values are
+        bit-identical across adapters and to prepare_input-style host
+        paths — a device-side division fuses into the encode's ``*2-1``
+        with different rounding — while the expensive strided transpose
+        happens on device."""
+        raw01 = np.asarray(images, np.float32) / np.float32(255.0)
+        return _transpose_clip(jnp.asarray(raw01))
 
     # ------------------------------------------------------------------
 

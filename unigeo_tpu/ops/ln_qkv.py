@@ -49,16 +49,16 @@ def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps):
 def ln_dense_tpu(x, gamma, beta, w, bias, block_m: int = 256,
                  block_n: int = 512, eps: float = 1e-5,
                  interpret: bool = False):
-    """x [M, C] → LN(x) @ w + bias, [M, N]; M % block_m == 0 handled by
-    padding, N % block_n == 0 required of the caller shapes we target
-    (C and 3C are multiples of 128 for every UNet width)."""
+    """x [M, C] → LN(x) @ w + bias, [M, N]; non-tile M handled by
+    padding; bn is chosen as a divisor of N (UNet widths give N = 3C ∈
+    {960, 1920, 3840} — NOT all multiples of 128, so 320/480-wide
+    candidates are in the list; Mosaic pads sublanes internally)."""
     m, c = x.shape
     n = w.shape[1]
     bm = min(block_m, m)
-    # bn must DIVIDE n (unwritten trailing columns otherwise): largest
-    # lane-aligned divisor ≤ block_n
+    # bn must DIVIDE n (unwritten trailing columns otherwise)
     bn = n
-    for cand in (block_n, 384, 256, 128):
+    for cand in (block_n, 480, 384, 320, 256, 128):
         if cand <= block_n and n % cand == 0:
             bn = cand
             break
