@@ -63,6 +63,45 @@ def raw_clip(data: Dict[str, Any]) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(data["images"], dtype=np.float32))
 
 
+class BatchedPointmapForward:
+    """forward_batch mixin for the pointmap adapters (evaluator dp path,
+    SURVEY §2.7): same-shape clips stack to [B, T, 3, H, W] and run as ONE
+    vmapped program, with the batch axis sharded over the mesh's dp axis
+    when more than one device is visible.  Heterogeneous shapes fall back
+    to serial forward (same contract as the SVD family)."""
+
+    @property
+    def eval_batch_size(self) -> int:
+        n = jax.device_count()
+        return n if n > 1 else 1
+
+    def forward_batch(self, datas):
+        raws = [raw_clip(d) for d in datas]
+        if len(raws) == 1 or len({r.shape for r in raws}) != 1:
+            return [self.forward(d) for d in datas]
+        if getattr(self, "_forward_full_batched", None) is None:
+            # _full_fn is the untraced per-clip program each adapter
+            # stores next to its jitted _forward_full
+            self._forward_full_batched = jax.jit(
+                jax.vmap(self._full_fn, in_axes=(None, 0))
+            )
+        batch = np.stack(raws)
+        if len(jax.devices()) > 1 and batch.shape[0] % len(jax.devices()) == 0:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs, ("dp",))
+            batch = jax.device_put(
+                batch, NamedSharding(mesh, PartitionSpec("dp")))
+        outs = self._forward_full_batched(self.params, batch)
+        host = fetch_outputs(outs)
+        return [
+            {k: (float(v[i]) if np.ndim(v[i]) == 0 else v[i])
+             for k, v in host.items()}
+            for i in range(len(datas))
+        ]
+
+
 def fetch_outputs(outs: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
     """One device→host pass for the whole output dict.
 

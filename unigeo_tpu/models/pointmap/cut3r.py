@@ -151,7 +151,7 @@ class Cut3RNetwork(nn.Module):
 
 
 @MODELS.register("Cut3R")
-class Cut3R:
+class Cut3R(adapter.BatchedPointmapForward):
     def __init__(
         self,
         network_config: Optional[Dict[str, Any]] = None,
@@ -202,6 +202,7 @@ class Cut3R:
             }, tdt)
 
         # one device-resident program per clip (see pointmap/adapter.py)
+        self._full_fn = _full
         self._forward_full = jax.jit(_full)
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:

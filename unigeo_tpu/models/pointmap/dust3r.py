@@ -180,7 +180,7 @@ class Dust3RNetwork(nn.Module):
 
 
 @MODELS.register("Dust3R")
-class Dust3R:
+class Dust3R(adapter.BatchedPointmapForward):
     """Adapter: clip → one-ref pairs (0, i) → world pointmaps → depth /
     cameras / normals, the reference's pointmap-adapter output contract
     (model/Readme.md:16-20)."""
@@ -239,6 +239,7 @@ class Dust3R:
             )
 
         # one device-resident program per clip (see pointmap/adapter.py)
+        self._full_fn = _full
         self._forward_full = jax.jit(_full)
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:

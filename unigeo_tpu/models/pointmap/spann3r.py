@@ -146,7 +146,7 @@ class Spann3RNetwork(nn.Module):
 
 
 @MODELS.register("Spann3R")
-class Spann3R:
+class Spann3R(adapter.BatchedPointmapForward):
     def __init__(
         self,
         network_config: Optional[Dict[str, Any]] = None,
@@ -196,6 +196,7 @@ class Spann3R:
         # recovery → normals → poses, all device-resident
         # (tools/ablate_spann3r.py: the split pipeline cost 6.1 s/clip,
         # ~0.4 s of it network).
+        self._full_fn = _full
         self._forward_full = jax.jit(_full)
 
     def forward(self, data: Dict[str, Any]) -> Dict[str, Any]:
