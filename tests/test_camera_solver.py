@@ -59,3 +59,19 @@ def test_solve_depth_and_camera_pipeline(rng):
     assert np.asarray(cam_pts[..., 2]).min() > 0  # positive depths
     assert T.shape == (2, 4, 4)
     assert np.isfinite(np.asarray(T)).all()
+
+
+def test_solver_vmapped_matches_serial(rng):
+    """The batched (vmap-over-clips) adapter path must agree with the
+    serial solve on WELL-POSED pointmaps (ill-posed inputs may flip the
+    DLT eigenvector between lowerings — that is the geometry's fault)."""
+    import jax
+
+    pts, extr, K = _make_scene(rng, nf=3)
+    batch = jnp.stack([jnp.asarray(pts)] * 2)
+    cam_b, ext_b, _ = jax.vmap(solve_depth_and_camera_from_pointmaps)(batch)
+    cam_s, ext_s, _ = solve_depth_and_camera_from_pointmaps(jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(ext_b[0]), np.asarray(ext_s),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cam_b[1]), np.asarray(cam_s),
+                               rtol=1e-3, atol=1e-3)
