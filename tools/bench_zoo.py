@@ -42,7 +42,16 @@ def _remaining():
     return DEADLINE_S - (time.perf_counter() - _T0)
 
 
-from tools._benchlib import measure_rtt, timed_blocking  # noqa: E402
+from tools._benchlib import measure_rtt, setup_cache, timed_blocking  # noqa: E402
+
+# Persistent compile cache + committed warm-start seed.  Without this every
+# zoo SUBPROCESS compiles its full stack from scratch over the tunneled
+# backend (~2-10 min per program) and throws the executables away on exit —
+# the round-5 DepthAnyVideo/StableNormal "compile wedge" was exactly this
+# on a fresh checkout whose live cache the driver reset had emptied.  With
+# it, completed compiles persist across retries, so even a deadline-killed
+# attempt makes the next one cheaper.
+setup_cache()
 
 
 def timed(fn, rtt, reps=3):
